@@ -1,0 +1,105 @@
+"""Benchmark: harmonic+noise+reverb chain forward+grad throughput.
+
+The BASELINE.md config #3 workload (the north-star metric): ProcessorGroup
+DAG of Harmonic(100 harmonics) + FilteredNoise(65 bins) + Add + trainable
+Reverb(48000 taps), batch 16, 4 s @ 16 kHz, forward + gradients.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "audio_samples/s", "vs_baseline": N}
+vs_baseline compares against the reference-equivalent TF implementation
+measured on CPU (benchmarks/baseline_measurements.json, measured by
+benchmarks/tf_baseline.py; reference publishes no numbers - see BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SR = 16000
+N_SAMPLES = 64000
+N_FRAMES = 250
+BATCH = 16
+
+
+def main():
+  import jax
+  import jax.numpy as jnp
+  from ddsp_tpu import proc
+
+  devices = jax.devices()
+
+  dag = [
+      (proc.Harmonic(n_samples=N_SAMPLES, sample_rate=SR, name='harmonic'),
+       ['amps', 'harmonic_distribution', 'f0_hz']),
+      (proc.FilteredNoise(n_samples=N_SAMPLES, window_size=257,
+                          name='filtered_noise'),
+       ['noise_magnitudes']),
+      (proc.Add(name='add'), ['filtered_noise/signal', 'harmonic/signal']),
+      (proc.Reverb(trainable=True, reverb_length=48000, name='reverb'),
+       ['add/signal']),
+  ]
+  pg = proc.ProcessorGroup(dag=dag)
+
+  rng = np.random.RandomState(0)
+  inputs = {
+      'amps': rng.randn(BATCH, N_FRAMES, 1).astype(np.float32),
+      'harmonic_distribution':
+          rng.randn(BATCH, N_FRAMES, 100).astype(np.float32),
+      'f0_hz': (220.0 * np.ones((BATCH, N_FRAMES, 1))).astype(np.float32),
+      'noise_magnitudes':
+          rng.randn(BATCH, N_FRAMES, 65).astype(np.float32),
+  }
+  rngs = {'params': jax.random.PRNGKey(0), 'noise': jax.random.PRNGKey(1)}
+  variables = pg.init(rngs, inputs)
+  params = variables.get('params', {})
+  noise_key = jax.random.PRNGKey(2)
+
+  def loss_fn(params, inputs):
+    signal = pg.apply({'params': params}, inputs,
+                      rngs={'noise': noise_key})
+    return jnp.mean(signal**2)
+
+  step = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))
+
+  # Move inputs to device once (steady-state training keeps data on-device).
+  params = jax.device_put(params)
+  inputs = jax.device_put(inputs)
+
+  # Warmup / compile.
+  loss, _ = step(params, inputs)
+  loss.block_until_ready()
+
+  # Timed steady state.
+  iters = 20
+  t0 = time.time()
+  for _ in range(iters):
+    loss, grads = step(params, inputs)
+  jax.block_until_ready((loss, grads))
+  dt = (time.time() - t0) / iters
+  samples_per_s = BATCH * N_SAMPLES / dt
+
+  baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               'benchmarks', 'baseline_measurements.json')
+  vs_baseline = None
+  if os.path.exists(baseline_path):
+    with open(baseline_path) as f:
+      baseline = json.load(f)
+    ref = baseline['chain_fwd_grad_batch16']['audio_samples_per_s']
+    vs_baseline = samples_per_s / ref
+
+  print(json.dumps({
+      'metric': 'harmonic+noise+reverb chain fwd+grad, batch 16, '
+                f'4s@16kHz, on {devices[0].device_kind}',
+      'value': round(samples_per_s, 1),
+      'unit': 'audio_samples/s',
+      'vs_baseline': round(vs_baseline, 2) if vs_baseline else None,
+  }))
+
+
+if __name__ == '__main__':
+  main()

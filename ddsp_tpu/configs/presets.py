@@ -1,0 +1,128 @@
+"""Model presets mirroring the reference gin configs.
+
+Reference behavior: /root/reference/ddsp/training/gin/models/ae.gin,
+solo_instrument.gin, vst/vst.gin. These play the role gin plays in the
+reference: the architecture is data. Here each preset is a plain Python
+factory keyed in a registry, overridable by kwargs, and serializable to a
+JSON "operative spec" (see ddsp_tpu.utils.spec) so checkpoints can
+reconstruct the exact model.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ddsp_tpu import losses as losses_lib
+from ddsp_tpu import nn
+from ddsp_tpu import proc
+from ddsp_tpu.models import Autoencoder
+from ddsp_tpu.utils.registry import register_preset
+
+
+@register_preset('ae')
+def ae(n_samples: int = 64000,
+       sample_rate: int = 16000,
+       time_steps: int = 1000,
+       n_harmonics: int = 100,
+       n_noise_magnitudes: int = 65,
+       z_dims: int = 16,
+       z_time_steps: int = 125,
+       rnn_channels: int = 512,
+       ch: int = 512,
+       layers_per_stack: int = 3) -> Autoencoder:
+  """NSynth-style autoencoder decoding from (loudness, f0, z).
+
+  Reference: gin/models/ae.gin.
+  """
+  return Autoencoder(
+      preprocessor=nn.F0LoudnessPreprocessor(time_steps=time_steps,
+                                             sample_rate=sample_rate),
+      encoder=nn.MfccTimeDistributedRnnEncoder(rnn_channels=rnn_channels,
+                                               rnn_type='gru',
+                                               z_dims=z_dims,
+                                               z_time_steps=z_time_steps),
+      decoder=nn.RnnFcDecoder(
+          rnn_channels=rnn_channels,
+          rnn_type='gru',
+          ch=ch,
+          layers_per_stack=layers_per_stack,
+          input_keys=('ld_scaled', 'f0_scaled', 'z'),
+          output_splits=(('amps', 1),
+                         ('harmonic_distribution', n_harmonics),
+                         ('noise_magnitudes', n_noise_magnitudes))),
+      processor_group=proc.ProcessorGroup(dag=[
+          (proc.Harmonic(n_samples=n_samples, sample_rate=sample_rate,
+                         name='harmonic'),
+           ['amps', 'harmonic_distribution', 'f0_hz']),
+          (proc.FilteredNoise(n_samples=n_samples, window_size=0,
+                              name='filtered_noise'),
+           ['noise_magnitudes']),
+          (proc.Add(name='add'),
+           ['filtered_noise/signal', 'harmonic/signal']),
+      ]),
+      losses=(losses_lib.SpectralLoss(loss_type='L1', mag_weight=1.0,
+                                      logmag_weight=1.0),))
+
+
+@register_preset('solo_instrument')
+def solo_instrument(n_samples: int = 64000,
+                    sample_rate: int = 16000,
+                    time_steps: int = 1000,
+                    n_harmonics: int = 60,
+                    n_noise_magnitudes: int = 65,
+                    reverb_length: int = 48000,
+                    rnn_channels: int = 512,
+                    ch: int = 512,
+                    layers_per_stack: int = 3) -> Autoencoder:
+  """Decodes from (loudness, f0) with a trainable reverb.
+
+  Reference: gin/models/solo_instrument.gin. Training data should all come
+  from the same acoustic environment.
+  """
+  return Autoencoder(
+      preprocessor=nn.F0LoudnessPreprocessor(time_steps=time_steps,
+                                             sample_rate=sample_rate),
+      encoder=None,
+      decoder=nn.RnnFcDecoder(
+          rnn_channels=rnn_channels,
+          rnn_type='gru',
+          ch=ch,
+          layers_per_stack=layers_per_stack,
+          input_keys=('ld_scaled', 'f0_scaled'),
+          output_splits=(('amps', 1),
+                         ('harmonic_distribution', n_harmonics),
+                         ('noise_magnitudes', n_noise_magnitudes))),
+      processor_group=proc.ProcessorGroup(dag=[
+          (proc.Harmonic(n_samples=n_samples, sample_rate=sample_rate,
+                         name='harmonic'),
+           ['amps', 'harmonic_distribution', 'f0_hz']),
+          (proc.FilteredNoise(n_samples=n_samples, window_size=0,
+                              name='filtered_noise'),
+           ['noise_magnitudes']),
+          (proc.Add(name='add'),
+           ['filtered_noise/signal', 'harmonic/signal']),
+          (proc.Reverb(trainable=True, reverb_length=reverb_length,
+                       name='reverb'),
+           ['add/signal']),
+      ]),
+      losses=(losses_lib.SpectralLoss(loss_type='L1', mag_weight=1.0,
+                                      logmag_weight=1.0),))
+
+
+@register_preset('tiny')
+def tiny(n_samples: int = 16000,
+         sample_rate: int = 16000,
+         time_steps: int = 250,
+         n_harmonics: int = 20,
+         n_noise_magnitudes: int = 33,
+         reverb_length: int = 8000) -> Autoencoder:
+  """Small solo-instrument model for tests/CI and single-core machines."""
+  return solo_instrument(n_samples=n_samples,
+                         sample_rate=sample_rate,
+                         time_steps=time_steps,
+                         n_harmonics=n_harmonics,
+                         n_noise_magnitudes=n_noise_magnitudes,
+                         reverb_length=reverb_length,
+                         rnn_channels=64,
+                         ch=64,
+                         layers_per_stack=1)

@@ -1,0 +1,154 @@
+"""Spectral and generic parameter losses.
+
+Reference behavior: /root/reference/ddsp/losses.py (Loss:41,
+mean_difference:101, SpectralLoss:132, ParamLoss:1065, LossGroup:51).
+
+The multi-scale spectral loss is the training-time hot path: 6 FFT sizes x
+2 signals per step. All STFTs run as one fused XLA program; magnitudes are
+shared between the linear and log terms.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ddsp_tpu.ops import spectral
+from ddsp_tpu.ops.core import diff as diff_op
+from ddsp_tpu.ops.core import safe_log
+from ddsp_tpu.proc.dags import DAGModule, default_module_name
+
+Array = jax.Array
+
+
+def mean_difference(target: Array, value: Array, loss_type: str = 'L1',
+                    weights: Optional[Array] = None) -> Array:
+  """Common loss reductions: 'L1', 'L2', or 'COSINE'."""
+  difference = target - value
+  weights = 1.0 if weights is None else weights
+  loss_type = loss_type.upper()
+  if loss_type == 'L1':
+    return jnp.mean(jnp.abs(difference * weights))
+  elif loss_type == 'L2':
+    return jnp.mean(difference**2 * weights)
+  elif loss_type == 'COSINE':
+    # Cosine distance along the last axis, averaged.
+    t = target / (jnp.linalg.norm(target, axis=-1, keepdims=True) + 1e-8)
+    v = value / (jnp.linalg.norm(value, axis=-1, keepdims=True) + 1e-8)
+    return jnp.mean((1.0 - jnp.sum(t * v, axis=-1)) * weights)
+  else:
+    raise ValueError(f'Loss type ({loss_type}), must be "L1", "L2", or '
+                     '"COSINE"')
+
+
+class Loss(nn.Module):
+  """Base class. Duck typing: losses just implement get_losses_dict()."""
+
+  def get_losses_dict(self, *args, **kwargs):
+    """Returns a dictionary {name: loss} for the model."""
+    loss = self(*args, **kwargs)
+    name = self.name if self.name else default_module_name(self)
+    return {name: loss}
+
+
+class LossGroup(DAGModule):
+  """Compute a group of loss modules as a DAG over an outputs dictionary."""
+
+  @property
+  def loss_names(self):
+    return self.module_names
+
+  def __call__(self, outputs, **kwargs):
+    """Returns a flat dictionary of losses {name: scalar}."""
+    dag_outputs = self.run_dag(outputs, **kwargs)
+    loss_outputs = {}
+    for k in self.node_names:
+      loss_outputs.update(dag_outputs[k])
+    return loss_outputs
+
+  def get_losses_dict(self, outputs, **kwargs):
+    return self(outputs, **kwargs)
+
+
+class SpectralLoss(Loss):
+  """Multi-scale spectrogram loss.
+
+  Attributes:
+    fft_sizes: Compare spectrograms at each of these fft sizes.
+    loss_type: One of 'L1', 'L2', or 'COSINE'.
+    mag_weight: Weight on linear magnitude difference.
+    delta_time_weight: Weight on the time finite-difference of magnitudes.
+    delta_freq_weight: Weight on the frequency finite-difference.
+    cumsum_freq_weight: Weight on the cumulative sum over frequency
+      (1-D Wasserstein-like term).
+    logmag_weight: Weight on log magnitude difference.
+    loudness_weight: Weight on perceptual loudness difference.
+  """
+
+  fft_sizes: Sequence[int] = (2048, 1024, 512, 256, 128, 64)
+  loss_type: str = 'L1'
+  mag_weight: float = 1.0
+  delta_time_weight: float = 0.0
+  delta_freq_weight: float = 0.0
+  cumsum_freq_weight: float = 0.0
+  logmag_weight: float = 0.0
+  loudness_weight: float = 0.0
+
+  def __call__(self, target_audio: Array, audio: Array,
+               weights: Optional[Array] = None) -> Array:
+    loss = 0.0
+
+    for size in self.fft_sizes:
+      target_mag = spectral.compute_mag(target_audio, size=size)
+      value_mag = spectral.compute_mag(audio, size=size)
+
+      if self.mag_weight > 0:
+        loss += self.mag_weight * mean_difference(
+            target_mag, value_mag, self.loss_type, weights=weights)
+
+      if self.delta_time_weight > 0:
+        target = diff_op(target_mag, axis=1)
+        value = diff_op(value_mag, axis=1)
+        loss += self.delta_time_weight * mean_difference(
+            target, value, self.loss_type, weights=weights)
+
+      if self.delta_freq_weight > 0:
+        target = diff_op(target_mag, axis=2)
+        value = diff_op(value_mag, axis=2)
+        loss += self.delta_freq_weight * mean_difference(
+            target, value, self.loss_type, weights=weights)
+
+      if self.cumsum_freq_weight > 0:
+        target = jnp.cumsum(target_mag, axis=2)
+        value = jnp.cumsum(value_mag, axis=2)
+        loss += self.cumsum_freq_weight * mean_difference(
+            target, value, self.loss_type, weights=weights)
+
+      if self.logmag_weight > 0:
+        target = safe_log(target_mag)
+        value = safe_log(value_mag)
+        loss += self.logmag_weight * mean_difference(
+            target, value, self.loss_type, weights=weights)
+
+    if self.loudness_weight > 0:
+      target = spectral.compute_loudness(target_audio, n_fft=2048)
+      value = spectral.compute_loudness(audio, n_fft=2048)
+      loss += self.loudness_weight * mean_difference(
+          target, value, self.loss_type, weights=weights)
+
+    return loss
+
+
+class ParamLoss(Loss):
+  """Loss on the mean difference between any two tensors."""
+
+  weight: float = 1.0
+  loss_type: str = 'L1'
+
+  def __call__(self, pred: Array, target: Array,
+               weights: Optional[Array] = None) -> Array:
+    return self.weight * mean_difference(pred, target, self.loss_type,
+                                         weights)

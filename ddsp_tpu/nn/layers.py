@@ -1,0 +1,265 @@
+"""Neural network building blocks (flax.linen).
+
+Reference behavior: /root/reference/ddsp/training/nn.py (DictLayer:48,
+OutputSplitsLayer:249, split_to_dict:324, Fc:844, FcStack:857, Rnn:866,
+StatelessRnn:883, RnnSandwich:920, Normalize:579, normalize_op:561).
+
+Design departure from the reference: DictLayer's runtime argspec reflection
+is replaced by *explicit* input/output key declarations on each module
+(`DictModule`), so the entire model traces statically into one XLA program
+with no host-side introspection per call.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ddsp_tpu.ops.core import nested_lookup
+
+Array = jax.Array
+TensorDict = Dict[str, Any]
+
+
+def get_nonlinearity(nonlinearity: str) -> Callable[[Array], Array]:
+  """Name -> activation function (tf.nn naming conventions)."""
+  if nonlinearity == 'leaky_relu':
+    # tf.nn.leaky_relu default alpha=0.2 (the reference's default).
+    return lambda x: jax.nn.leaky_relu(x, negative_slope=0.2)
+  try:
+    return getattr(jax.nn, nonlinearity)
+  except AttributeError as e:
+    raise ValueError(f'Unknown nonlinearity: {nonlinearity}') from e
+
+
+def split_to_dict(tensor: Array,
+                  tensor_splits: Sequence[Tuple[str, int]]) -> TensorDict:
+  """Split a tensor along the last axis into a dictionary of tensors."""
+  labels = [v[0] for v in tensor_splits]
+  sizes = [v[1] for v in tensor_splits]
+  # Static split points (a traced array here would break jit).
+  splits = jnp.split(tensor, np.cumsum(sizes)[:-1].tolist(), axis=-1)
+  return dict(zip(labels, splits))
+
+
+def ensure_4d(x: Array) -> Array:
+  """Add extra dimensions to make sure a tensor has height and width."""
+  if x.ndim == 2:
+    return x[:, jnp.newaxis, jnp.newaxis, :]
+  elif x.ndim == 3:
+    return x[:, :, jnp.newaxis, :]
+  return x
+
+
+def inv_ensure_4d(x: Array, n_dims: int) -> Array:
+  """Remove excess dims, inverse of ensure_4d()."""
+  if n_dims == 2:
+    return x[:, 0, 0, :]
+  if n_dims == 3:
+    return x[:, :, 0, :]
+  return x
+
+
+class DictModule(nn.Module):
+  """Dict-in/dict-out module with *explicitly declared* keys.
+
+  Subclasses set `input_keys` / `output_keys` (tuple fields) and implement
+  `forward(*tensors, training=...)` returning a tuple (matched positionally
+  to output_keys) or a dict. `__call__` accepts either a features dict or
+  positional tensors.
+  """
+
+  def _input_keys(self) -> Sequence[str]:
+    return self.input_keys  # pytype: disable=attribute-error
+
+  def _output_keys(self) -> Sequence[str]:
+    return self.output_keys  # pytype: disable=attribute-error
+
+  def _optional_input_keys(self) -> Sequence[str]:
+    """Keys that may be absent from the features dict (passed as None)."""
+    return ()
+
+  def __call__(self, *args, **kwargs) -> TensorDict:
+    if len(args) == 1 and isinstance(args[0], dict):
+      features = args[0]
+      optional = set(self._optional_input_keys())
+      inputs = []
+      for k in self._input_keys():
+        try:
+          inputs.append(nested_lookup(k, features))
+        except KeyError:
+          if k in optional:
+            inputs.append(None)
+          else:
+            raise
+    else:
+      inputs = list(args)
+    outputs = self.forward(*inputs, **kwargs)
+    if isinstance(outputs, dict):
+      return outputs
+    if not isinstance(outputs, (tuple, list)):
+      outputs = (outputs,)
+    output_keys = list(self._output_keys())
+    if len(output_keys) != len(outputs):
+      raise ValueError(
+          f'Module {type(self).__name__} returned {len(outputs)} outputs '
+          f'but declares output_keys {output_keys}.')
+    return dict(zip(output_keys, outputs))
+
+  def forward(self, *inputs, **kwargs):
+    raise NotImplementedError
+
+
+class Fc(nn.Module):
+  """Dense -> LayerNorm -> nonlinearity (default leaky_relu)."""
+
+  ch: int = 128
+  nonlinearity: str = 'leaky_relu'
+
+  @nn.compact
+  def __call__(self, x: Array) -> Array:
+    x = nn.Dense(self.ch)(x)
+    # Keras LayerNormalization default epsilon=1e-3.
+    x = nn.LayerNorm(epsilon=1e-3)(x)
+    return get_nonlinearity(self.nonlinearity)(x)
+
+
+class FcStack(nn.Module):
+  """Stack of Dense -> LayerNorm -> nonlinearity layers."""
+
+  ch: int = 256
+  layers: int = 2
+  nonlinearity: str = 'leaky_relu'
+
+  @nn.compact
+  def __call__(self, x: Array) -> Array:
+    for _ in range(self.layers):
+      x = Fc(self.ch, self.nonlinearity)(x)
+    return x
+
+
+def _rnn_cell(rnn_type: str, dims: int):
+  cells = {'lstm': nn.OptimizedLSTMCell, 'gru': nn.GRUCell}
+  return cells[rnn_type](features=dims)
+
+
+class Rnn(nn.Module):
+  """Single RNN layer over [batch, time, ch] sequences."""
+
+  dims: int = 512
+  rnn_type: str = 'gru'
+  return_sequences: bool = True
+  bidir: bool = False
+
+  @nn.compact
+  def __call__(self, x: Array) -> Array:
+    if self.bidir:
+      fwd = nn.RNN(_rnn_cell(self.rnn_type, self.dims))
+      bwd = nn.RNN(_rnn_cell(self.rnn_type, self.dims), reverse=True,
+                   keep_order=True)
+      y = jnp.concatenate([fwd(x), bwd(x)], axis=-1)
+    else:
+      y = nn.RNN(_rnn_cell(self.rnn_type, self.dims))(x)
+    if not self.return_sequences:
+      y = y[:, -1]
+    return y
+
+
+class StatelessRnn(nn.Module):
+  """Unidirectional RNN with explicit state carry for streaming models."""
+
+  dims: int = 512
+  rnn_type: str = 'gru'
+
+  @nn.compact
+  def __call__(self, x: Array, state: Array) -> Tuple[Array, Array]:
+    """Run with explicit state.
+
+    Args:
+      x: Input, shape [batch, time, ch].
+      state: Carry, shape [batch, dims] for GRU.
+
+    Returns:
+      (y, new_state): y [batch, time, dims], new_state [batch, dims].
+    """
+    cell = _rnn_cell(self.rnn_type, self.dims)
+    if self.rnn_type == 'gru':
+      carry = state
+    else:
+      # LSTM carry is (c, h); split a packed [batch, 2*dims] state.
+      carry = (state[..., :self.dims], state[..., self.dims:])
+    final_carry, y = nn.RNN(cell, return_carry=True)(
+        x, initial_carry=carry)
+    if self.rnn_type == 'gru':
+      new_state = final_carry
+    else:
+      new_state = jnp.concatenate(final_carry, axis=-1)
+    return y, new_state
+
+
+class RnnFc(nn.Module):
+  """RNN layer(s) -> fully connected -> LayerNorm -> activation."""
+
+  rnn_feat: int = 512
+  out_feat: int = 512
+  rnn_type: str = 'lstm'
+  nonlinearity: str = 'sigmoid'
+  bidir: bool = False
+  n_rnn: int = 1
+
+  @nn.compact
+  def __call__(self, x: Array) -> Array:
+    for _ in range(self.n_rnn):
+      x = Rnn(self.rnn_feat, self.rnn_type, bidir=self.bidir)(x)
+    return Fc(self.out_feat, nonlinearity=self.nonlinearity)(x)
+
+
+class RnnSandwich(nn.Module):
+  """RNN sandwiched by two FC stacks."""
+
+  fc_stack_ch: int = 256
+  fc_stack_layers: int = 2
+  rnn_ch: int = 512
+  rnn_type: str = 'gru'
+
+  @nn.compact
+  def __call__(self, x: Array) -> Array:
+    x = FcStack(self.fc_stack_ch, self.fc_stack_layers)(x)
+    x = Rnn(self.rnn_ch, self.rnn_type)(x)
+    return FcStack(self.fc_stack_ch, self.fc_stack_layers)(x)
+
+
+def normalize_op(x: Array, norm_type: str = 'layer',
+                 eps: float = 1e-5) -> Array:
+  """Apply group/instance/layer normalization (no learned params).
+
+  x: [batch, height, width, ch] (use ensure_4d for other ranks).
+  """
+  mb, h, w, ch = x.shape
+  n_groups = {'instance': ch, 'layer': 1, 'group': 32}[norm_type]
+  x = jnp.reshape(x, (mb, h, w, n_groups, ch // n_groups))
+  mean = jnp.mean(x, axis=(1, 2, 4), keepdims=True)
+  var = jnp.var(x, axis=(1, 2, 4), keepdims=True)
+  x = (x - mean) / jnp.sqrt(var + eps)
+  return jnp.reshape(x, (mb, h, w, ch))
+
+
+class Normalize(nn.Module):
+  """Normalization with learned scale and shift."""
+
+  norm_type: str = 'layer'
+
+  @nn.compact
+  def __call__(self, x: Array) -> Array:
+    n_dims = x.ndim
+    x = ensure_4d(x)
+    ch = x.shape[-1]
+    scale = self.param('scale', nn.initializers.ones, (1, 1, 1, ch))
+    shift = self.param('shift', nn.initializers.zeros, (1, 1, 1, ch))
+    x = normalize_op(x, self.norm_type)
+    x = x * scale + shift
+    return inv_ensure_4d(x, n_dims)

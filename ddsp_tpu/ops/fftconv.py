@@ -27,6 +27,17 @@ from ddsp_tpu.ops.core import jnp_float32
 Array = jax.Array
 
 
+def hann_window(window_size: int) -> Array:
+  """Periodic hann window matching tf.signal.hann_window(periodic=True).
+
+  TF extends to a symmetric window of length N+1 and drops the last sample;
+  for odd N this reduces to a denominator of N-1, for even N to N.
+  """
+  denom = window_size if window_size % 2 == 0 else window_size - 1
+  t = jnp.arange(window_size, dtype=jnp.float32)
+  return 0.5 - 0.5 * jnp.cos(2.0 * np.pi * t / max(denom, 1))
+
+
 def get_fft_size(frame_size: int, ir_size: int,
                  power_of_2: bool = True) -> int:
   """Calculate final size for efficient FFT (next power of 2)."""
@@ -250,9 +261,7 @@ def apply_window_to_impulse_response(impulse_response: Array,
   ir_size = int(impulse_response.shape[-1])
   if (window_size <= 0) or (window_size > ir_size):
     window_size = ir_size
-  # Periodic hann window (matches tf.signal.hann_window default).
-  t = jnp.arange(window_size, dtype=jnp.float32)
-  window = 0.5 - 0.5 * jnp.cos(2.0 * np.pi * t / window_size)
+  window = hann_window(window_size)
 
   # Zero pad the window and put in zero-phase form.
   padding = ir_size - window_size
@@ -342,10 +351,11 @@ def sinc_impulse_response(cutoff_frequency: Array,
 
   impulse_response = sinc(cutoff_frequency * idx)
 
-  # Symmetric hamming window (matches tf.signal.hamming_window periodic=True
-  # of size full_size).
+  # Periodic hamming window (tf.signal.hamming_window; odd N uses
+  # denominator N-1, same convention as hann_window above).
+  denom = full_size if full_size % 2 == 0 else full_size - 1
   n = jnp.arange(full_size, dtype=jnp.float32)
-  window = 0.54 - 0.46 * jnp.cos(2.0 * np.pi * n / full_size)
+  window = 0.54 - 0.46 * jnp.cos(2.0 * np.pi * n / denom)
   impulse_response = window * jnp.real(impulse_response)
 
   # Normalize for unity gain.

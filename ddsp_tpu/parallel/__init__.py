@@ -1,0 +1,8 @@
+"""Parallelism: device meshes, shardings, time-axis sharding utilities."""
+
+from ddsp_tpu.parallel.mesh import batch_sharding  # noqa: F401
+from ddsp_tpu.parallel.mesh import create_mesh  # noqa: F401
+from ddsp_tpu.parallel.mesh import replicate  # noqa: F401
+from ddsp_tpu.parallel.mesh import replicated_sharding  # noqa: F401
+from ddsp_tpu.parallel.mesh import shard_batch  # noqa: F401
+from ddsp_tpu.parallel.mesh import single_device_mesh  # noqa: F401

@@ -1,0 +1,72 @@
+"""Device mesh setup and sharding helpers.
+
+The TPU-native replacement for the reference's tf.distribute strategies
+(reference train_util.py:29-78). One global `Mesh(('data', 'time'))`:
+
+  * 'data': batch-parallel axis (the reference's only parallelism).
+  * 'time': audio-time-axis sharding for long-form synthesis - a new
+    capability (SURVEY.md section 5.7); kernels exchange overlap-add halos
+    and phase carries across this axis.
+
+Multi-host: call `jax.distributed.initialize()` per host before creating
+the mesh; `jax.devices()` then spans all hosts and the same code applies.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(n_data: Optional[int] = None,
+                n_time: int = 1,
+                devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+  """Create a ('data', 'time') mesh over the available devices.
+
+  Args:
+    n_data: Size of the data axis. Defaults to n_devices // n_time.
+    n_time: Size of the time axis (audio-sample sharding).
+    devices: Devices to use (default jax.devices(), all hosts).
+
+  Returns:
+    A Mesh with axes ('data', 'time').
+  """
+  devices = list(devices if devices is not None else jax.devices())
+  if n_data is None:
+    n_data = len(devices) // n_time
+  if n_data * n_time != len(devices):
+    devices = devices[:n_data * n_time]
+  device_array = np.asarray(devices).reshape(n_data, n_time)
+  return Mesh(device_array, ('data', 'time'))
+
+
+def single_device_mesh() -> Mesh:
+  """A trivial 1x1 mesh (single chip)."""
+  return create_mesh(n_data=1, n_time=1, devices=jax.devices()[:1])
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+  """Sharding for batched arrays: batch dim over 'data'."""
+  return NamedSharding(mesh, P('data'))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+  """Fully replicated sharding (params, scalars)."""
+  return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+  """Place a pytree of host arrays on the mesh, batch-dim sharded."""
+  sharding = batch_sharding(mesh)
+  return jax.tree_util.tree_map(
+      lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+  """Place a pytree fully replicated on the mesh."""
+  sharding = replicated_sharding(mesh)
+  return jax.tree_util.tree_map(
+      lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,80 @@
+"""Preset registry and the serialized "operative spec" artifact.
+
+Plays the role of gin's operative config in the reference (SURVEY.md
+section 5.4/5.6): the (preset name, kwargs) pair is written alongside
+checkpoints at train time, and re-parsed at eval/inference time to
+reconstruct (and optionally mutate - e.g. different n_samples,
+use_angular_cumsum) the exact model.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable, Dict, Optional
+
+_PRESETS: Dict[str, Callable[..., Any]] = {}
+
+
+def register_preset(name: str):
+  """Decorator registering a model factory under a preset name."""
+
+  def wrap(fn):
+    _PRESETS[name] = fn
+    return fn
+
+  return wrap
+
+
+def get_preset(name: str) -> Callable[..., Any]:
+  # Importing configs registers the built-in presets.
+  import ddsp_tpu.configs  # noqa: F401  pylint: disable=g-import-not-at-top
+  if name not in _PRESETS:
+    raise KeyError(f'Unknown preset {name!r}. Available: '
+                   f'{sorted(_PRESETS)}')
+  return _PRESETS[name]
+
+
+def list_presets():
+  import ddsp_tpu.configs  # noqa: F401  pylint: disable=g-import-not-at-top
+  return sorted(_PRESETS)
+
+
+def build_model(name: str, **kwargs):
+  """Instantiate a registered preset with overrides."""
+  return get_preset(name)(**kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Operative spec: the serialized architecture artifact
+# ---------------------------------------------------------------------------
+SPEC_FILENAME = 'operative_spec.json'
+
+
+def save_spec(save_dir: str, preset: str, **kwargs) -> str:
+  """Write the (preset, kwargs) model spec next to checkpoints."""
+  os.makedirs(save_dir, exist_ok=True)
+  path = os.path.join(save_dir, SPEC_FILENAME)
+  with open(path, 'w') as f:
+    json.dump({'preset': preset, 'kwargs': kwargs}, f, indent=2,
+              sort_keys=True)
+  return path
+
+
+def load_spec(save_dir: str) -> Dict[str, Any]:
+  """Read the model spec from a train directory."""
+  path = os.path.join(save_dir, SPEC_FILENAME)
+  with open(path) as f:
+    return json.load(f)
+
+
+def model_from_spec(save_dir: str, **overrides):
+  """Reconstruct the model from a saved spec, with optional mutations.
+
+  Mirrors the reference pattern of re-parsing the operative gin config at
+  inference time and mutating it (reference inference.py:39-105).
+  """
+  spec = load_spec(save_dir)
+  kwargs = dict(spec['kwargs'])
+  kwargs.update(overrides)
+  return build_model(spec['preset'], **kwargs)

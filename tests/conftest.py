@@ -14,5 +14,12 @@ if 'xla_force_host_platform_device_count' not in _flags:
   os.environ['XLA_FLAGS'] = (
       _flags + ' --xla_force_host_platform_device_count=8').strip()
 
+# The env var alone is not enough on this machine (the axon TPU plugin
+# still wins); force the platform through the config API before any
+# backend initialization.
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+
 # Make the repo root importable without installation.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

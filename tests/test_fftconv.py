@@ -128,14 +128,20 @@ def test_get_fft_size():
 
 def test_frequency_impulse_response_windowing():
   """IR is causal-form, correct size, and windowed."""
+  # window_size > ir_size clamps to ir_size (= 2 * (n_freqs - 1)).
   magnitudes = np.ones((1, 65), np.float32)
   ir = np.asarray(ops.frequency_impulse_response(magnitudes,
                                                  window_size=257))
-  assert ir.shape[-1] == 257
-  # A flat magnitude response should give a (windowed) impulse centered at
-  # the filter's group delay.
+  assert ir.shape[-1] == 128
+  # Flat magnitude response -> (windowed) impulse centered at ir_size // 2.
   peak = np.argmax(np.abs(ir[0]))
-  assert abs(int(peak) - 128) <= 1
+  assert int(peak) == 64
+  # Requested window smaller than ir crops the IR to window_size.
+  magnitudes = np.ones((1, 1025), np.float32)
+  ir = np.asarray(ops.frequency_impulse_response(magnitudes,
+                                                 window_size=257))
+  assert ir.shape[-1] == 257
+  assert abs(int(np.argmax(np.abs(ir[0]))) - 128) <= 1
 
 
 def test_frequency_impulse_response_matches_tf_reference():
