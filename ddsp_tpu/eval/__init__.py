@@ -1,0 +1,9 @@
+"""Evaluation: metrics, evaluators, summaries, and the eval loop."""
+
+from ddsp_tpu.eval import eval_util  # noqa: F401
+from ddsp_tpu.eval import metrics  # noqa: F401
+from ddsp_tpu.eval import summaries  # noqa: F401
+from ddsp_tpu.eval.evaluators import BaseEvaluator  # noqa: F401
+from ddsp_tpu.eval.evaluators import BasicEvaluator  # noqa: F401
+from ddsp_tpu.eval.evaluators import F0LdEvaluator  # noqa: F401
+from ddsp_tpu.eval.eval_util import evaluate_or_sample  # noqa: F401

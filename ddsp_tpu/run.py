@@ -1,0 +1,129 @@
+"""Command-line entry point: train / eval / sample.
+
+Reference behavior: /root/reference/ddsp/training/ddsp_run.py (flags:80-115,
+parse_gin:128, main:173). Flags select run topology; the model architecture
+comes from a preset name + JSON overrides (the config system playing gin's
+role), written to save_dir as the operative spec and re-read on eval/resume.
+
+Usage:
+  python -m ddsp_tpu.run --mode=train --preset=solo_instrument \
+      --save_dir=/tmp/run --data=synthetic --num_steps=1000
+  python -m ddsp_tpu.run --mode=eval --save_dir=/tmp/run --data=synthetic
+  python -m ddsp_tpu.run --mode=sample --save_dir=/tmp/run --data=synthetic
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+
+def build_data_provider(spec: str, n_samples: int, sample_rate: int,
+                        frame_rate: int):
+  """'synthetic[:n]', 'tfrecord:<pattern>' -> DataProvider."""
+  from ddsp_tpu import data as data_lib
+  kind, _, arg = spec.partition(':')
+  if kind == 'synthetic':
+    n_examples = int(arg) if arg else 64
+    return data_lib.SyntheticSinusoidProvider(
+        n_samples=n_samples, sample_rate=sample_rate, frame_rate=frame_rate,
+        n_examples=n_examples)
+  elif kind == 'tfrecord':
+    return data_lib.TFRecordProvider(
+        arg, example_secs=n_samples // sample_rate,
+        sample_rate=sample_rate, frame_rate=frame_rate)
+  else:
+    raise ValueError(f'Unknown data spec {spec!r} '
+                     "(use 'synthetic[:n]' or 'tfrecord:<pattern>')")
+
+
+def main(argv=None):
+  parser = argparse.ArgumentParser(description=__doc__)
+  parser.add_argument('--mode', default='train',
+                      choices=['train', 'eval', 'sample'])
+  parser.add_argument('--preset', default='solo_instrument',
+                      help='Model preset name (see ddsp_tpu.utils.list_presets)')
+  parser.add_argument('--model_kwargs', default='{}',
+                      help='JSON kwargs overriding the preset')
+  parser.add_argument('--save_dir', required=True)
+  parser.add_argument('--restore_dir', default='',
+                      help='Defaults to save_dir')
+  parser.add_argument('--data', default='synthetic',
+                      help="'synthetic[:n]' or 'tfrecord:<glob>'")
+  parser.add_argument('--batch_size', type=int, default=32)
+  parser.add_argument('--num_steps', type=int, default=1000000)
+  parser.add_argument('--steps_per_summary', type=int, default=300)
+  parser.add_argument('--steps_per_save', type=int, default=300)
+  parser.add_argument('--learning_rate', type=float, default=3e-4)
+  parser.add_argument('--early_stop_loss_value', type=float, default=None)
+  parser.add_argument('--sample_rate', type=int, default=16000)
+  parser.add_argument('--frame_rate', type=int, default=250)
+  parser.add_argument('--num_eval_batches', type=int, default=4)
+  parser.add_argument('--run_once', action='store_true')
+  parser.add_argument('--platform', default='',
+                      help="Force a jax platform (e.g. 'cpu')")
+  parser.add_argument('--n_devices', type=int, default=0,
+                      help='Limit device count (0 = all)')
+  args = parser.parse_args(argv)
+
+  logging.basicConfig(
+      level=logging.INFO,
+      format='%(asctime)s %(name)s %(levelname)s: %(message)s')
+
+  if args.platform:
+    import jax
+    jax.config.update('jax_platforms', args.platform)
+
+  import jax
+  from ddsp_tpu import utils
+  from ddsp_tpu.parallel import create_mesh
+  from ddsp_tpu.train import Trainer, train
+
+  model_kwargs = json.loads(args.model_kwargs)
+
+  if args.mode == 'train':
+    model = utils.build_model(args.preset, **model_kwargs)
+    utils.save_spec(args.save_dir, args.preset, **model_kwargs)
+  else:
+    # Reconstruct the exact trained architecture from the operative spec.
+    model = utils.model_from_spec(args.restore_dir or args.save_dir,
+                                  **model_kwargs)
+    spec = utils.load_spec(args.restore_dir or args.save_dir)
+    model_kwargs = dict(spec['kwargs'], **model_kwargs)
+
+  n_samples = model_kwargs.get('n_samples', 64000)
+  provider = build_data_provider(args.data, n_samples, args.sample_rate,
+                                 args.frame_rate)
+
+  devices = jax.devices()
+  if args.n_devices:
+    devices = devices[:args.n_devices]
+  mesh = create_mesh(n_data=len(devices), devices=devices)
+  trainer = Trainer(model, mesh=mesh, learning_rate=args.learning_rate)
+
+  if args.mode == 'train':
+    iterator = provider.get_batch(args.batch_size, shuffle=True, repeats=-1)
+    train(iterator, trainer,
+          num_steps=args.num_steps,
+          steps_per_summary=args.steps_per_summary,
+          steps_per_save=args.steps_per_save,
+          save_dir=args.save_dir,
+          restore_dir=args.restore_dir or args.save_dir,
+          early_stop_loss_value=args.early_stop_loss_value)
+  else:
+    from ddsp_tpu.eval import eval_util
+    eval_util.evaluate_or_sample(
+        provider, trainer,
+        save_dir=args.save_dir,
+        restore_dir=args.restore_dir or args.save_dir,
+        mode=args.mode,
+        batch_size=min(args.batch_size, 4),
+        num_batches=args.num_eval_batches,
+        run_once=args.run_once)
+
+
+if __name__ == '__main__':
+  main()
