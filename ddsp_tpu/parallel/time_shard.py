@@ -1,0 +1,280 @@
+"""Time-axis (sequence-parallel) sharding of audio synthesis.
+
+A new capability beyond the reference (SURVEY.md section 5.7): the audio
+time axis is sharded across the 'time' mesh axis, so arbitrarily long
+audio can be synthesized/filtered with per-chip memory bounded by the
+shard length. The decompositions:
+
+  * phase accumulation: each shard computes a local cumsum of angular
+    frequency; per-shard totals are exchanged (all_gather over the tiny
+    [batch, 1, 1] totals rides ICI) and an exclusive prefix gives each
+    shard its carry - exactly the reference's `angular_cumsum` chunk-carry
+    trick (reference core.py:800-866) lifted to the device mesh.
+  * fft_convolve: each shard convolves its own audio frames locally
+    (block FFT + overlap-add); the OLA tail that spills past the shard
+    boundary is ring-propagated to following shards with
+    `jax.lax.ppermute` and accumulated (overlap-save halo exchange).
+    Group-delay compensation is folded in by pre-cropping the local
+    output, so the result equals the single-device
+    `fft_convolve(..., 'same', delay_compensation)` exactly.
+
+Everything is differentiable: collectives transpose automatically
+(all_gather <-> reduce-scatter, ppermute <-> reverse ppermute), so the
+sharded forward has a correct halo-accumulating adjoint for free.
+
+All functions here are written to run *inside* `jax.shard_map` with a mesh
+axis named 'time'; `time_sharded_harmonic_synthesis` and
+`time_sharded_fft_convolve` are user-facing wrappers that apply shard_map
+over a provided mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ddsp_tpu.ops import fftconv as fftconv_ops
+from ddsp_tpu.ops import oscillator as osc_ops
+# Note: the ops package __init__ shadows the `resample` submodule name with
+# the function of the same name; import the function directly.
+from ddsp_tpu.ops.resample import resample as resample_fn
+
+Array = jax.Array
+TIME_AXIS = 'time'
+
+
+# ---------------------------------------------------------------------------
+# Inside-shard_map building blocks
+# ---------------------------------------------------------------------------
+def local_phase_cumsum(omega_local: Array,
+                       axis_name: str = TIME_AXIS) -> Array:
+  """Phase cumsum over a time-sharded angular-frequency array.
+
+  Args:
+    omega_local: Local shard of radians-per-sample, [batch, t_local, ...].
+    axis_name: Mesh axis the time dimension is sharded over.
+
+  Returns:
+    Local shard of the *global* cumulative phase (shard-count invariant up
+    to float rounding of the carry, which is kept mod 2*pi).
+  """
+  local = jnp.cumsum(omega_local, axis=1)
+  totals = local[:, -1:, ...] % (2.0 * np.pi)
+  # [n_shards, batch, 1, ...] tiny; rides ICI.
+  all_totals = jax.lax.all_gather(totals, axis_name)
+  n = all_totals.shape[0]
+  idx = jax.lax.axis_index(axis_name)
+  mask = (jnp.arange(n) < idx).astype(local.dtype)
+  mask = mask.reshape((n,) + (1,) * totals.ndim)
+  carry = jnp.sum(all_totals * mask, axis=0) % (2.0 * np.pi)
+  return local + carry
+
+
+def local_fft_convolve_same(audio_local: Array,
+                            ir: Array,
+                            n_ir_frames: int,
+                            ir_size: int,
+                            delay_compensation: int = -1,
+                            axis_name: str = TIME_AXIS) -> Array:
+  """Time-sharded LTV fft_convolve with 'same' padding.
+
+  Args:
+    audio_local: Local audio shard, [batch, t_local]. The *global* length
+      t_local * n_shards must be divisible by n_ir_frames, and the frame
+      size must divide t_local (frames don't straddle shard boundaries).
+    ir: Impulse responses, replicated: [batch, n_ir_frames, ir_size].
+    n_ir_frames: Global number of IR frames.
+    ir_size: IR length in samples.
+    delay_compensation: Group-delay pre-crop; -1 = (ir_size - 1) // 2 - 1
+      (the linear-phase default, reference core.py:1338-1380).
+    axis_name: Mesh axis name for the time dimension.
+
+  Returns:
+    Local shard of fft_convolve(audio, ir, 'same', delay_compensation).
+  """
+  n_shards = jax.lax.axis_size(axis_name)
+  my_idx = jax.lax.axis_index(axis_name)
+  batch, t_local = audio_local.shape
+  t_global = t_local * n_shards
+
+  frame_size = int(np.ceil(t_global / n_ir_frames))
+  # Convolution is time-invariant within one IR frame, so a frame larger
+  # than the shard can be split into shard-sized sub-frames that reuse the
+  # same IR (the LTI/reverb case where n_ir_frames < n_shards).
+  sub_frame = min(frame_size, t_local)
+  if t_local % sub_frame != 0 or frame_size % sub_frame != 0:
+    raise ValueError(
+        f'Shard length {t_local} and frame size {frame_size} '
+        '(= ceil(T / n_ir_frames)) must align; pick shard counts so frames '
+        'do not straddle shard boundaries.')
+  frames_per_shard = t_local // sub_frame
+
+  # IR frame index for each of my local sub-frames.
+  sub_starts = my_idx * t_local + jnp.arange(frames_per_shard) * sub_frame
+  ir_idx = sub_starts // frame_size
+  ir_local = jnp.take(ir, ir_idx, axis=1)
+
+  # Local block convolution.
+  fft_size = fftconv_ops.get_fft_size(sub_frame, ir_size, power_of_2=True)
+  audio_frames = jnp.reshape(audio_local,
+                             (batch, frames_per_shard, sub_frame))
+  audio_fft = jnp.fft.rfft(audio_frames, fft_size)
+  ir_fft = jnp.fft.rfft(ir_local, fft_size)
+  frames_out = jnp.fft.irfft(audio_fft * ir_fft,
+                             fft_size).astype(jnp.float32)
+  # Local overlap-add: length (frames_per_shard - 1) * frame + fft.
+  out_local = fftconv_ops.overlap_and_add(frames_out, sub_frame)
+
+  # Fold in group-delay compensation by pre-cropping: global output
+  # position p gets sum of out_i[p + delay - i * t_local].
+  delay = ((ir_size - 1) // 2 - 1 if delay_compensation < 0
+           else delay_compensation)
+  if delay > t_local:
+    raise ValueError(f'delay_compensation ({delay}) must not exceed the '
+                     f'shard length ({t_local}).')
+  head = out_local[:, :delay] if delay > 0 else None
+  if delay > 0:
+    out_local = out_local[:, delay:]
+
+  result = out_local[:, :t_local]
+  if result.shape[1] < t_local:
+    result = jnp.pad(result, ((0, 0), (0, t_local - result.shape[1])))
+  tail = out_local[:, t_local:]
+
+  # Ring-propagate the spilled tail to the following shards.
+  tail_len = tail.shape[1]
+  k_steps = max(1, -(-tail_len // t_local)) if tail_len else 0
+  if tail_len:
+    pad = k_steps * t_local - tail_len
+    carry = jnp.pad(tail, ((0, 0), (0, pad)))
+    perm = [(i, i + 1) for i in range(n_shards - 1)]
+    for _ in range(k_steps):
+      carry = jax.lax.ppermute(carry, axis_name, perm)
+      result = result + carry[:, :t_local]
+      carry = jnp.concatenate(
+          [carry[:, t_local:], jnp.zeros_like(carry[:, :t_local])], axis=1)
+
+  # Left halo: the delay shift makes shard i's last `delay` positions draw
+  # on the *head* of shard i+1's raw output (the right neighbor's first
+  # `delay` samples, pre-crop). Shard n-1 correctly receives zeros: the
+  # global positions past T it would need don't exist in 'same' padding.
+  if head is not None and head.shape[1] > 0:
+    perm_left = [(i + 1, i) for i in range(n_shards - 1)]
+    head_from_right = jax.lax.ppermute(head, axis_name, perm_left)
+    result = jnp.concatenate(
+        [result[:, :t_local - delay],
+         result[:, t_local - delay:] + head_from_right], axis=1)
+  return result
+
+
+def local_harmonic_synthesis(frequencies: Array,
+                             amplitudes: Array,
+                             harmonic_distribution: Optional[Array],
+                             n_samples: int,
+                             sample_rate: int = 16000,
+                             amp_resample_method: str = 'window',
+                             axis_name: str = TIME_AXIS) -> Array:
+  """Time-sharded harmonic synthesis (controls replicated, audio sharded).
+
+  Frame-rate controls are tiny (and replicated); each shard materializes
+  only its own slice of the audio-rate envelopes (a static gather into the
+  frames), accumulates its local phase, and exchanges one scalar carry per
+  batch element. Output is the local shard of [batch, n_samples] audio.
+  """
+  n_shards = jax.lax.axis_size(axis_name)
+  my_idx = jax.lax.axis_index(axis_name)
+  if n_samples % n_shards:
+    raise ValueError(f'n_samples {n_samples} must divide over {n_shards} '
+                     'time shards.')
+  t_local = n_samples // n_shards
+
+  if harmonic_distribution is not None:
+    n_harmonics = int(harmonic_distribution.shape[-1])
+    harmonic_amplitudes = amplitudes * harmonic_distribution
+  else:
+    n_harmonics = 1
+    harmonic_amplitudes = amplitudes
+
+  # Full audio-rate envelopes via the same resample math, then slice the
+  # local window. The resample is a static gather over (tiny) frames, so
+  # XLA only materializes the slice each shard reads.
+  amp_env = resample_fn(harmonic_amplitudes, n_samples,
+                                  method=amp_resample_method)
+  f0_env = resample_fn(frequencies, n_samples)
+  start = my_idx * t_local
+  amp_env = jax.lax.dynamic_slice_in_dim(amp_env, start, t_local, axis=1)
+  f0_env = jax.lax.dynamic_slice_in_dim(f0_env, start, t_local, axis=1)
+
+  omega = f0_env * (2.0 * np.pi) / float(sample_rate)
+  phase0 = local_phase_cumsum(omega, axis_name)
+
+  f_ratios = jnp.linspace(1.0, float(n_harmonics), int(n_harmonics))
+  f_ratios = f_ratios[jnp.newaxis, jnp.newaxis, :]
+  amp_env = osc_ops.remove_above_nyquist(f0_env * f_ratios, amp_env,
+                                         sample_rate)
+  wavs = jnp.sin(phase0 * f_ratios)
+  return jnp.sum(amp_env * wavs, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# User-facing shard_map wrappers
+# ---------------------------------------------------------------------------
+def time_sharded_harmonic_synthesis(mesh: Mesh,
+                                    frequencies: Array,
+                                    amplitudes: Array,
+                                    harmonic_distribution: Optional[Array],
+                                    n_samples: int,
+                                    sample_rate: int = 16000,
+                                    amp_resample_method: str = 'window'
+                                    ) -> Array:
+  """Harmonic synthesis with audio sharded over the mesh 'time' axis.
+
+  Controls ([batch, n_frames, ...]) are replicated; the returned audio
+  [batch, n_samples] is sharded P(None, 'time').
+  """
+  kwargs = dict(n_samples=n_samples, sample_rate=sample_rate,
+                amp_resample_method=amp_resample_method)
+  if harmonic_distribution is None:
+    fn = functools.partial(local_harmonic_synthesis,
+                           harmonic_distribution=None, **kwargs)
+    return jax.shard_map(
+        lambda f, a: fn(f, a), mesh=mesh, in_specs=(P(), P()),
+        out_specs=P(None, TIME_AXIS))(frequencies, amplitudes)
+  fn = functools.partial(local_harmonic_synthesis, **kwargs)
+  return jax.shard_map(
+      fn, mesh=mesh, in_specs=(P(), P(), P()),
+      out_specs=P(None, TIME_AXIS))(
+          frequencies, amplitudes, harmonic_distribution)
+
+
+def time_sharded_fft_convolve(mesh: Mesh,
+                              audio: Array,
+                              impulse_response: Array,
+                              delay_compensation: int = -1) -> Array:
+  """fft_convolve(audio, ir, 'same') with audio sharded over 'time'.
+
+  audio: [batch, T] sharded P(None, 'time') (or replicated host array);
+  impulse_response: [batch, n_ir_frames, ir_size], replicated.
+  """
+  if impulse_response.ndim == 2:
+    impulse_response = impulse_response[:, jnp.newaxis, :]
+  _, n_ir_frames, ir_size = impulse_response.shape
+  fn = functools.partial(
+      local_fft_convolve_same,
+      n_ir_frames=n_ir_frames,
+      ir_size=ir_size,
+      delay_compensation=delay_compensation)
+  # check_vma=False: the vma type checker rejects the FFT transpose with a
+  # replicated ir operand; the shard_map transpose still inserts the psum
+  # for the replicated input's cotangent (verified by the gradient
+  # equivalence test).
+  return jax.shard_map(
+      fn, mesh=mesh,
+      in_specs=(P(None, TIME_AXIS), P()),
+      out_specs=P(None, TIME_AXIS),
+      check_vma=False)(audio, impulse_response)
