@@ -76,7 +76,22 @@ def frame(signal: Array,
   else:
     n_frames = 1 + (n - frame_length) // frame_step if n >= frame_length else 0
 
-  # Gather index matrix [n_frames, frame_length].
+  if frame_length % frame_step == 0 and axis == signal.ndim - 1:
+    # TPU fast path: when the hop divides the frame, overlapping frames are
+    # k = frame/hop shifted views of hop-sized chunks - k static slices +
+    # one concat instead of a gather (gathers don't tile well on TPU).
+    k = frame_length // frame_step
+    total = (n_frames + k - 1) * frame_step
+    length = signal.shape[-1]
+    if total != length:
+      pads = [(0, 0)] * (signal.ndim - 1) + [(0, max(0, total - length))]
+      signal = jnp.pad(signal[..., :total], pads)
+    chunks = jnp.reshape(signal,
+                         signal.shape[:-1] + (n_frames + k - 1, frame_step))
+    parts = [chunks[..., j:j + n_frames, :] for j in range(k)]
+    return jnp.concatenate(parts, axis=-1)
+
+  # General path: gather with a static index matrix.
   idx = (np.arange(n_frames)[:, None] * frame_step
          + np.arange(frame_length)[None, :])
   frames = jnp.take(signal, jnp.asarray(idx.astype(np.int32)), axis=axis)

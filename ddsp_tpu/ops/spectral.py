@@ -226,11 +226,15 @@ def compute_logmel(audio: Array,
 
 @functools.lru_cache(maxsize=None)
 def _dct_ii_matrix_np(n: int) -> np.ndarray:
-  """Orthonormal DCT-II matrix ([n_mels, n_mels]) applied as x @ M."""
+  """DCT-II matrix ([n_mels, n_mels]) applied as x @ M.
+
+  tf.signal.mfccs_from_log_mel_spectrograms scales the unnormalized DCT-II
+  by 1/sqrt(2N) - like 'ortho' but WITHOUT the extra 1/sqrt(2) on the DC
+  coefficient - so we match that exactly.
+  """
   k = np.arange(n)[np.newaxis, :]
   i = np.arange(n)[:, np.newaxis]
   m = np.cos(np.pi * k * (2 * i + 1) / (2 * n)) * np.sqrt(2.0 / n)
-  m[:, 0] *= 1.0 / np.sqrt(2.0)
   return m.astype(np.float32)
 
 
