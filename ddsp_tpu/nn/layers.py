@@ -233,6 +233,41 @@ class RnnSandwich(nn.Module):
     return FcStack(self.fc_stack_ch, self.fc_stack_layers)(x)
 
 
+class SingleGru(nn.Module):
+  """GRU -> LayerNorm network."""
+
+  gru_dim: int = 128
+
+  @nn.compact
+  def __call__(self, x: Array) -> Array:
+    x = Rnn(self.gru_dim, 'gru')(x)
+    return nn.LayerNorm(epsilon=1e-3)(x)
+
+
+class FcStackOut(nn.Module):
+  """Stack of FC layers with a final linear projection to n_out."""
+
+  ch: int
+  layers: int
+  n_out: int
+
+  @nn.compact
+  def __call__(self, x: Array) -> Array:
+    x = FcStack(self.ch, self.layers)(x)
+    return nn.Dense(self.n_out)(x)
+
+
+class Embedding(nn.Module):
+  """Real-valued embedding lookup from an integer (e.g. instrument id)."""
+
+  vocab_size: int = 1024
+  n_dims: int = 256
+
+  @nn.compact
+  def __call__(self, idx: Array) -> Array:
+    return nn.Embed(self.vocab_size, self.n_dims)(idx.astype(jnp.int32))
+
+
 def normalize_op(x: Array, norm_type: str = 'layer',
                  eps: float = 1e-5) -> Array:
   """Apply group/instance/layer normalization (no learned params).
