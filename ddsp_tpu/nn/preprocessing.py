@@ -141,3 +141,103 @@ class F0PowerPreprocessor(F0LoudnessPreprocessor):
   def invert_scaling(f0_scaled: Array,
                      pw_scaled: Array) -> Tuple[Array, Array]:
     return inv_scale_f0_hz(f0_scaled), inv_scale_db(pw_scaled)
+
+
+class OnlineF0PowerPreprocessor(DictModule):
+  """Computes power_db and f0_hz (CREPE) on the fly, in-graph.
+
+  Reference behavior: preprocessing.py:155 (OnlineF0PowerPreprocessor).
+  CREPE runs as captured frozen constants (stop_gradient on f0), so pitch
+  tracking happens on-accelerator inside the same XLA program.
+
+  Attributes:
+    frame_rate: Output feature frame rate (Hz).
+    frame_size: Analysis frame size (CREPE expects 1024 @ 16 kHz).
+    padding: 'center', 'same', or 'valid' framing.
+    compute_power: Compute power_db from audio.
+    compute_f0: Run CREPE for f0 (else f0_hz/f0_confidence inputs
+      required).
+    crepe_model_capacity: CREPE size for on-the-fly pitch.
+    crepe_weights_path: Optional .h5 weights (see ops.crepe).
+    viterbi: Viterbi-decode the CREPE activations.
+  """
+
+  frame_rate: int = 250
+  frame_size: int = 1024
+  padding: str = 'center'
+  compute_power: bool = True
+  compute_f0: bool = True
+  crepe_model_capacity: str = 'tiny'
+  crepe_weights_path: Optional[str] = None
+  viterbi: bool = False
+  input_keys: tuple = ('audio', 'f0_hz', 'f0_confidence', 'audio_16k',
+                       'power_db')
+  output_keys: tuple = ('f0_hz', 'pw_db', 'f0_scaled', 'pw_scaled',
+                        'f0_confidence')
+
+  def _optional_input_keys(self):
+    return ('f0_hz', 'f0_confidence', 'audio_16k', 'power_db')
+
+  @property
+  def sample_rate(self) -> int:
+    # Preprocessing at 16 kHz because CREPE is trained at 16 kHz.
+    from ddsp_tpu.ops.crepe import CREPE_SAMPLE_RATE
+    return CREPE_SAMPLE_RATE
+
+  @property
+  def hop_size(self) -> int:
+    return self.sample_rate // self.frame_rate
+
+  def setup(self):
+    if self.compute_f0:
+      from ddsp_tpu.ops.crepe import PretrainedCrepe
+      # Plain attribute (not a flax submodule): weights are frozen
+      # constants, never trainable params.
+      self._crepe = PretrainedCrepe(
+          model_capacity=self.crepe_model_capacity,
+          weights_path=self.crepe_weights_path,
+          hop_size=self.hop_size)
+
+  def forward(self, audio: Array, f0_hz: Optional[Array] = None,
+              f0_confidence: Optional[Array] = None,
+              audio_16k: Optional[Array] = None,
+              power_db: Optional[Array] = None, **unused_kwargs):
+    if audio_16k is not None:
+      audio = audio_16k
+
+    pw_db = power_db
+    if self.compute_power:
+      pw_db = spectral.compute_power(audio,
+                                     sample_rate=self.sample_rate,
+                                     frame_rate=self.frame_rate,
+                                     frame_size=self.frame_size,
+                                     padding=self.padding)
+
+    if self.compute_f0:
+      f0_hz, f0_confidence = self._crepe.predict_f0_and_confidence(
+          audio, viterbi=self.viterbi, padding=self.padding)
+      f0_hz = jax.lax.stop_gradient(f0_hz)
+      f0_confidence = jax.lax.stop_gradient(f0_confidence)
+    elif f0_hz is None or f0_confidence is None:
+      raise ValueError('Preprocessor must either have `compute_f0=True`, or'
+                       ' be supplied [audio, f0_hz, f0_confidence].')
+
+    pw_db = at_least_3d(pw_db)
+    f0_hz = at_least_3d(f0_hz)
+    pw_scaled = scale_db(pw_db)
+    f0_scaled = scale_f0_hz(f0_hz)
+
+    # Strict frame-count validation (no interpolation) - reference :226-240.
+    n_t = audio.shape[1]
+    time_steps, _ = spectral.get_framed_lengths(
+        n_t, self.frame_size, self.hop_size, self.padding)
+    for k, output in {'f0_hz': f0_hz, 'pw_db': pw_db,
+                      'f0_scaled': f0_scaled, 'pw_scaled': pw_scaled}.items():
+      if output.shape[1] != time_steps:
+        raise ValueError(
+            f'OnlineF0PowerPreprocessor output ({k}) does not have '
+            f'{time_steps} timesteps. Output shape: {output.shape}. '
+            f'Inputs: seconds ({n_t / self.sample_rate}), '
+            f'frame_rate ({self.frame_rate}), padding ("{self.padding}").')
+
+    return f0_hz, pw_db, f0_scaled, pw_scaled, f0_confidence

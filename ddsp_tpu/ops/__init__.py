@@ -47,3 +47,9 @@ from ddsp_tpu.ops.spectral import compute_rms_energy  # noqa: F401
 from ddsp_tpu.ops.spectral import get_framed_lengths  # noqa: F401
 from ddsp_tpu.ops.spectral import pad_or_trim_to_expected_length  # noqa: F401
 from ddsp_tpu.ops.spectral import stft  # noqa: F401
+from ddsp_tpu.ops import crepe  # noqa: F401,E402
+from ddsp_tpu.ops import hmm  # noqa: F401,E402
+from ddsp_tpu.ops.crepe import CrepeModel  # noqa: F401,E402
+from ddsp_tpu.ops.crepe import PretrainedCrepe  # noqa: F401,E402
+from ddsp_tpu.ops.spectral import compute_f0  # noqa: F401,E402
+from ddsp_tpu.ops.spectral import reset_crepe  # noqa: F401,E402

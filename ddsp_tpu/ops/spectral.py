@@ -401,3 +401,58 @@ def pad_or_trim_to_expected_length(vector: Array,
   elif original_len > expected_len:
     vector = vector[..., :expected_len]
   return vector[0] if is_1d else vector
+
+
+# Lazily constructed global CREPE (reference: crepe's module-level models).
+_CREPE_CACHE = {}
+
+
+def reset_crepe():
+  """Drop cached CREPE models (force rebuild / weight reload)."""
+  _CREPE_CACHE.clear()
+
+
+def _get_crepe(model_capacity: str = 'tiny'):
+  from ddsp_tpu.ops.crepe import PretrainedCrepe  # circular-import guard
+  if model_capacity not in _CREPE_CACHE:
+    _CREPE_CACHE[model_capacity] = PretrainedCrepe(
+        model_capacity=model_capacity)
+  return _CREPE_CACHE[model_capacity]
+
+
+def compute_f0(audio, frame_rate: int, viterbi: bool = True,
+               padding: str = 'center', model_capacity: str = 'tiny'):
+  """Fundamental frequency estimate using the flax CREPE port.
+
+  Reference behavior: /root/reference/ddsp/spectral_ops.py:328 (there via
+  the crepe pip package, non-differentiable numpy; here batched jnp on
+  accelerator). Requires pretrained weights ($CREPE_WEIGHTS_DIR) for
+  meaningful pitch; random-init otherwise (plumbing only).
+
+  Args:
+    audio: Single example [n_samples] or batch [batch, n_samples] @ 16 kHz.
+    frame_rate: Rate of f0 frames in Hz.
+    viterbi: Use Viterbi decoding to estimate f0.
+    padding: 'same', 'valid', or 'center'.
+    model_capacity: CREPE model size.
+
+  Returns:
+    f0_hz, f0_confidence: numpy arrays, shape [(batch,) n_frames].
+  """
+  import numpy as _np
+  crepe_model = _get_crepe(model_capacity)
+  hop_size = crepe_model.sample_rate // frame_rate
+
+  was_1d = _np.ndim(audio) == 1
+  audio = jnp.atleast_2d(jnp_float32(audio))
+  crepe_model = _get_crepe(model_capacity)
+  crepe_model.hop_size = hop_size
+  f0_hz, f0_confidence = crepe_model.predict_f0_and_confidence(
+      audio, viterbi=viterbi, padding=padding)
+
+  f0_hz = _np.asarray(f0_hz, dtype=_np.float32)
+  f0_confidence = _np.nan_to_num(
+      _np.asarray(f0_confidence, dtype=_np.float32))
+  if was_1d:
+    f0_hz, f0_confidence = f0_hz[0], f0_confidence[0]
+  return f0_hz, f0_confidence

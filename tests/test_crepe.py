@@ -1,0 +1,169 @@
+"""Tests for the CREPE port: architecture shapes, f0 decode math, viterbi.
+
+Pretrained weights are unavailable offline, so numerical pitch accuracy is
+not testable; these tests pin the architecture contract (shapes, activation
+layers), the activations->f0 decode math (which is weight-independent), and
+the preprocessor plumbing.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddsp_tpu import losses, nn as dnn, ops
+from ddsp_tpu.ops import crepe
+
+
+RNG = np.random.RandomState(5)
+
+
+class TestCrepeModel:
+
+  def test_tiny_output_shape(self):
+    model = crepe.CrepeModel(model_capacity='tiny')
+    x = jnp.asarray(RNG.randn(3, 1024).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(v, x)
+    assert y.shape == (3, 360)
+    # Sigmoid outputs in [0, 1].
+    assert np.all(np.asarray(y) >= 0) and np.all(np.asarray(y) <= 1)
+
+  def test_param_structure_matches_keras_names(self):
+    model = crepe.CrepeModel(model_capacity='tiny')
+    x = jnp.zeros((1, 1024))
+    v = model.init(jax.random.PRNGKey(0), x)
+    names = set(v['params'])
+    assert names == {'conv1', 'conv2', 'conv3', 'conv4', 'conv5', 'conv6',
+                     'classifier'} | {f'conv{i}_BN' for i in range(1, 7)}
+    # Tiny capacity: first conv has 32*4=128 filters of width 512.
+    assert v['params']['conv1']['kernel'].shape == (512, 1, 1, 128)
+    # Classifier in from conv6 filters x remaining spatial size.
+    assert v['params']['classifier']['kernel'].shape[-1] == 360
+
+  def test_activation_layer_outputs(self):
+    x = jnp.asarray(RNG.randn(2, 1024).astype(np.float32))
+    for layer in ['conv1-BN', 'conv2-maxpool', 'classifier', None]:
+      model = crepe.CrepeModel(model_capacity='tiny',
+                               activation_layer=layer)
+      v = model.init(jax.random.PRNGKey(0), x)
+      y = model.apply(v, x)
+      assert y.ndim == 2 and y.shape[0] == 2
+
+
+class TestActivationsToF0:
+
+  def test_peaked_activation_decodes_bin_frequency(self):
+    # One-hot activation at a known bin -> cents -> Hz.
+    for bin_idx in [40, 180, 300]:
+      acts = np.full((1, 360), 1e-6, np.float32)
+      acts[0, bin_idx] = 1.0
+      f0_hz, conf = crepe.activations_to_f0_and_confidence(
+          jnp.asarray(acts))
+      expected_cent = crepe._CENT_MAPPING[bin_idx]
+      expected_hz = 10 * 2**(expected_cent / 1200.0)
+      np.testing.assert_allclose(float(f0_hz[0]), expected_hz, rtol=1e-3)
+      np.testing.assert_allclose(float(conf[0, 0]), 1.0)
+
+  def test_local_weighting_interpolates(self):
+    # Two equal neighboring bins -> f0 between the two bin frequencies.
+    acts = np.full((1, 360), 1e-9, np.float32)
+    acts[0, 100] = 1.0
+    acts[0, 101] = 1.0
+    f0, _ = crepe.activations_to_f0_and_confidence(jnp.asarray(acts))
+    lo = 10 * 2**(crepe._CENT_MAPPING[100] / 1200.0)
+    hi = 10 * 2**(crepe._CENT_MAPPING[101] / 1200.0)
+    assert lo < float(f0[0]) < hi
+
+  def test_viterbi_centers_smooth_outliers(self):
+    # Track at bin 100 with one outlier spike; viterbi should remove it.
+    t = 20
+    acts = np.full((1, t, 360), 1e-4, np.float32)
+    acts[0, :, 100] = 0.9
+    acts[0, 10, 100] = 1e-4
+    acts[0, 10, 300] = 0.95  # outlier far away
+    centers = crepe.crepe_viterbi_centers(jnp.asarray(acts))
+    c = np.asarray(centers)[0]
+    assert c.shape == (t,)
+    assert np.all(np.abs(c - 100) <= 2), c
+
+
+class TestPretrainedCrepe:
+
+  def test_predict_shapes(self):
+    model = crepe.PretrainedCrepe(model_capacity='tiny', hop_size=160)
+    assert not model.pretrained  # no weights available offline
+    audio = jnp.asarray(RNG.randn(2, 3200).astype(np.float32) * 0.1)
+    f0, conf = model.predict_f0_and_confidence(audio, padding='center')
+    # center padding (librosa-style): n_frames = 3200//160 + 1 = 21.
+    assert f0.shape == (2, 21)
+    assert conf.shape == (2, 21)
+    assert np.all(np.isfinite(np.asarray(f0)))
+
+  def test_compute_f0_api(self):
+    audio = RNG.randn(3200).astype(np.float32) * 0.1
+    f0, conf = ops.compute_f0(audio, frame_rate=100, viterbi=False)
+    assert f0.shape == (21,) and conf.shape == (21,)
+    assert isinstance(f0, np.ndarray)
+
+
+class TestOnlineF0PowerPreprocessor:
+
+  def test_online_features(self):
+    pre = dnn.OnlineF0PowerPreprocessor(
+        frame_rate=100, frame_size=1024, padding='center',
+        compute_power=True, compute_f0=True, crepe_model_capacity='tiny')
+    audio = jnp.asarray(RNG.randn(1, 3200).astype(np.float32) * 0.1)
+    features = {'audio': audio}
+    v = pre.init(jax.random.PRNGKey(0), features)
+    out = pre.apply(v, features)
+    assert out['f0_hz'].shape == (1, 21, 1)
+    assert out['pw_db'].shape == (1, 21, 1)
+    assert out['f0_scaled'].shape == (1, 21, 1)
+    assert np.all(np.asarray(out['f0_scaled']) >= 0)
+    assert np.all(np.asarray(out['f0_scaled']) <= 1)
+
+  def test_precomputed_f0_passthrough(self):
+    pre = dnn.OnlineF0PowerPreprocessor(
+        frame_rate=100, frame_size=1024, padding='center',
+        compute_power=True, compute_f0=False)
+    f0 = np.full((1, 21), 220.0, np.float32)
+    conf = np.ones((1, 21), np.float32)
+    features = {'audio': jnp.asarray(
+        RNG.randn(1, 3200).astype(np.float32) * 0.1),
+                'f0_hz': jnp.asarray(f0), 'f0_confidence': jnp.asarray(conf)}
+    out = dnn.OnlineF0PowerPreprocessor(
+        frame_rate=100, frame_size=1024, compute_f0=False).apply(
+            {}, features)
+    np.testing.assert_allclose(np.asarray(out['f0_hz'])[:, :, 0], f0)
+
+  def test_grad_blocked_through_f0(self):
+    pre = dnn.OnlineF0PowerPreprocessor(
+        frame_rate=100, frame_size=1024, compute_power=True,
+        compute_f0=True, crepe_model_capacity='tiny')
+    audio = jnp.asarray(RNG.randn(1, 3200).astype(np.float32) * 0.1)
+
+    def f0_sum(a):
+      out = pre.apply({}, {'audio': a})
+      return jnp.sum(out['f0_hz'])
+
+    g = jax.grad(f0_sum)(audio)
+    np.testing.assert_allclose(np.asarray(g), 0.0)
+
+
+class TestCrepeEmbeddingLoss:
+
+  def test_loss_runs_and_grads_flow_to_audio_only(self):
+    loss_mod = losses.PretrainedCREPEEmbeddingLoss(
+        model_capacity='tiny', activation_layer='conv2-maxpool')
+    target = jnp.asarray(RNG.randn(1, 2048).astype(np.float32) * 0.1)
+    audio = jnp.asarray(RNG.randn(1, 2048).astype(np.float32) * 0.1)
+    v = loss_mod.init(jax.random.PRNGKey(0), target, audio)
+    # Frozen CREPE: no trainable params belong to the loss.
+    assert not v.get('params', {})
+    val = loss_mod.apply(v, target, audio)
+    assert np.isfinite(float(val)) and float(val) > 0
+    same = loss_mod.apply(v, target, target)
+    np.testing.assert_allclose(float(same), 0.0, atol=1e-5)
+    g = jax.grad(lambda a: loss_mod.apply(v, target, a))(audio)
+    assert np.any(np.asarray(g) != 0)
