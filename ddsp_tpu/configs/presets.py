@@ -29,14 +29,16 @@ def ae(n_samples: int = 64000,
        z_time_steps: int = 125,
        rnn_channels: int = 512,
        ch: int = 512,
-       layers_per_stack: int = 3) -> Autoencoder:
+       layers_per_stack: int = 3,
+       compute_loudness_fresh: bool = True) -> Autoencoder:
   """NSynth-style autoencoder decoding from (loudness, f0, z).
 
   Reference: gin/models/ae.gin.
   """
   return Autoencoder(
-      preprocessor=nn.F0LoudnessPreprocessor(time_steps=time_steps,
-                                             sample_rate=sample_rate),
+      preprocessor=nn.F0LoudnessPreprocessor(
+          time_steps=time_steps, sample_rate=sample_rate,
+          compute_loudness_fresh=compute_loudness_fresh),
       encoder=nn.MfccTimeDistributedRnnEncoder(rnn_channels=rnn_channels,
                                                rnn_type='gru',
                                                z_dims=z_dims,
@@ -73,15 +75,19 @@ def solo_instrument(n_samples: int = 64000,
                     reverb_length: int = 48000,
                     rnn_channels: int = 512,
                     ch: int = 512,
-                    layers_per_stack: int = 3) -> Autoencoder:
+                    layers_per_stack: int = 3,
+                    reverb: bool = True,
+                    use_angular_cumsum: bool = False,
+                    compute_loudness_fresh: bool = True) -> Autoencoder:
   """Decodes from (loudness, f0) with a trainable reverb.
 
   Reference: gin/models/solo_instrument.gin. Training data should all come
   from the same acoustic environment.
   """
   return Autoencoder(
-      preprocessor=nn.F0LoudnessPreprocessor(time_steps=time_steps,
-                                             sample_rate=sample_rate),
+      preprocessor=nn.F0LoudnessPreprocessor(
+          time_steps=time_steps, sample_rate=sample_rate,
+          compute_loudness_fresh=compute_loudness_fresh),
       encoder=None,
       decoder=nn.RnnFcDecoder(
           rnn_channels=rnn_channels,
@@ -92,19 +98,19 @@ def solo_instrument(n_samples: int = 64000,
           output_splits=(('amps', 1),
                          ('harmonic_distribution', n_harmonics),
                          ('noise_magnitudes', n_noise_magnitudes))),
-      processor_group=proc.ProcessorGroup(dag=[
-          (proc.Harmonic(n_samples=n_samples, sample_rate=sample_rate,
-                         name='harmonic'),
-           ['amps', 'harmonic_distribution', 'f0_hz']),
-          (proc.FilteredNoise(n_samples=n_samples, window_size=0,
-                              name='filtered_noise'),
-           ['noise_magnitudes']),
-          (proc.Add(name='add'),
-           ['filtered_noise/signal', 'harmonic/signal']),
-          (proc.Reverb(trainable=True, reverb_length=reverb_length,
-                       name='reverb'),
-           ['add/signal']),
-      ]),
+      processor_group=proc.ProcessorGroup(dag=(
+          [(proc.Harmonic(n_samples=n_samples, sample_rate=sample_rate,
+                          use_angular_cumsum=use_angular_cumsum,
+                          name='harmonic'),
+            ['amps', 'harmonic_distribution', 'f0_hz']),
+           (proc.FilteredNoise(n_samples=n_samples, window_size=0,
+                               name='filtered_noise'),
+            ['noise_magnitudes']),
+           (proc.Add(name='add'),
+            ['filtered_noise/signal', 'harmonic/signal'])] +
+          ([(proc.Reverb(trainable=True, reverb_length=reverb_length,
+                         name='reverb'),
+             ['add/signal'])] if reverb else []))),
       losses=(losses_lib.SpectralLoss(loss_type='L1', mag_weight=1.0,
                                       logmag_weight=1.0),))
 
@@ -126,3 +132,71 @@ def tiny(n_samples: int = 16000,
                          rnn_channels=64,
                          ch=64,
                          layers_per_stack=1)
+
+
+@register_preset('vst')
+def vst(sample_rate: int = 16000,
+        frame_rate: int = 50,
+        frame_size: int = 1024,
+        n_harmonics: int = 60,
+        n_noise_magnitudes: int = 65,
+        rnn_channels: int = 512,
+        ch: int = 256,
+        layers_per_stack: int = 1,
+        reverb_length: int = 24000,
+        seconds: float = 4.0,
+        stateless: bool = False,
+        reverb: bool = True,
+        use_angular_cumsum: bool = False) -> Autoencoder:
+  """Streaming (VST) autoencoder decoding from (power, f0).
+
+  Reference: gin/models/vst/vst.gin. Synthesizes one extra hop for center
+  padding and crops it from the back (generation is forward-looking).
+  """
+  hop_size = sample_rate // frame_rate
+  n_samples = int(seconds * sample_rate) + hop_size  # Extra center frame.
+
+  dag = [
+      (proc.Harmonic(n_samples=n_samples, sample_rate=sample_rate,
+                     amp_resample_method='linear',
+                     use_angular_cumsum=use_angular_cumsum,
+                     name='harmonic'),
+       ['amps', 'harmonic_distribution', 'f0_hz']),
+      (proc.FilteredNoise(n_samples=n_samples, window_size=0,
+                          name='filtered_noise'),
+       ['noise_magnitudes']),
+      (proc.Add(name='add'),
+       ['filtered_noise/signal', 'harmonic/signal']),
+  ]
+  if reverb:
+    dag.append((proc.FilteredNoiseReverb(
+        trainable=True, reverb_length=reverb_length, n_frames=500,
+        n_filter_banks=32, name='reverb'), ['add/signal']))
+    crop_input = 'reverb/signal'
+  else:
+    crop_input = 'add/signal'
+  # Remove the extra frame of synthesis from centering.
+  dag.append((proc.Crop(frame_size=hop_size, crop_location='back',
+                        name='crop'), [crop_input]))
+
+  return Autoencoder(
+      preprocessor=nn.OnlineF0PowerPreprocessor(
+          frame_rate=frame_rate,
+          frame_size=frame_size,
+          padding='center',
+          compute_power=True,
+          compute_f0=False),
+      encoder=None,
+      decoder=nn.RnnFcDecoder(
+          rnn_channels=rnn_channels,
+          rnn_type='gru',
+          ch=ch,
+          layers_per_stack=layers_per_stack,
+          stateless=stateless,
+          input_keys=('pw_scaled', 'f0_scaled'),
+          output_splits=(('amps', 1),
+                         ('harmonic_distribution', n_harmonics),
+                         ('noise_magnitudes', n_noise_magnitudes))),
+      processor_group=proc.ProcessorGroup(dag=dag),
+      losses=(losses_lib.SpectralLoss(loss_type='L1', mag_weight=1.0,
+                                      logmag_weight=1.0),))
