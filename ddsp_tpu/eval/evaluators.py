@@ -1,7 +1,8 @@
 """Evaluator classes dispatched by the eval loop.
 
 Reference behavior: /root/reference/ddsp/training/evaluators.py
-(BaseEvaluator:25, BasicEvaluator:52, F0LdEvaluator:95).
+(BaseEvaluator:25, BasicEvaluator:52, F0LdEvaluator:95, TWMEvaluator:132,
+MidiAutoencoderEvaluator:172, MidiHeuristicEvaluator:218).
 """
 
 from __future__ import annotations
@@ -71,7 +72,12 @@ class F0LdEvaluator(BaseEvaluator):
     self._loudness_metrics = metrics_lib.LoudnessMetrics(
         sample_rate, frame_rate)
     self._f0_metrics = metrics_lib.F0Metrics(sample_rate, frame_rate)
-    self._run_f0_crepe = run_f0_crepe  # CREPE port pending.
+    # CREPE fallback for models that don't expose f0 (needs weights for
+    # meaningful numbers; see ops.crepe).
+    self._run_f0_crepe = run_f0_crepe
+    if run_f0_crepe:
+      self._f0_crepe_metrics = metrics_lib.F0CrepeMetrics(
+          sample_rate, frame_rate)
 
   def evaluate(self, batch, outputs, losses):
     audio_gen = np.asarray(outputs['audio_synth'])
@@ -83,9 +89,99 @@ class F0LdEvaluator(BaseEvaluator):
       f0_synth = controls.get('f0_hz')
     if f0_synth is not None and 'f0_hz' in batch:
       self._f0_metrics.update_state(batch, np.asarray(f0_synth))
+    elif self._run_f0_crepe:
+      self._f0_crepe_metrics.update_state(batch, audio_gen)
 
   def flush(self, step):
     results = {}
     results.update(self._loudness_metrics.flush(step))
     results.update(self._f0_metrics.flush(step))
+    if self._run_f0_crepe:
+      results.update(self._f0_crepe_metrics.flush(step))
     return results
+
+
+class TWMEvaluator(BaseEvaluator):
+  """F0 metrics for f0s estimated with the TWM heuristic from sinusoids.
+
+  Reference evaluators.py:132: treats all predicted sinusoid frequencies as
+  f0 candidates and picks the best via TWMLoss.predict_f0.
+  """
+
+  def __init__(self, sample_rate=16000, frame_rate=250,
+               processor_name: str = 'sinusoidal', noisy: bool = False):
+    super().__init__(sample_rate, frame_rate)
+    self._noisy = noisy
+    self._processor_name = processor_name
+    self._f0_twm_metrics = metrics_lib.F0Metrics(
+        sample_rate=sample_rate, frame_rate=frame_rate, name='f0_twm')
+
+  def _compute_twm_f0(self, outputs):
+    from ddsp_tpu.losses import TWMLoss  # pylint: disable=g-import-not-at-top
+    controls = outputs[self._processor_name]['controls']
+    freqs = np.asarray(controls['frequencies'])
+    amps = np.asarray(controls['amplitudes'])
+    if self._noisy:
+      amps = amps * (1.0 - np.asarray(controls['noise_ratios']))
+    twm = TWMLoss()
+    return twm.predict_f0(freqs, freqs, amps)
+
+  def evaluate(self, batch, outputs, losses):
+    del losses
+    self._f0_twm_metrics.update_state(batch, self._compute_twm_f0(outputs))
+
+  def flush(self, step):
+    return self._f0_twm_metrics.flush(step)
+
+
+class MidiAutoencoderEvaluator(BaseEvaluator):
+  """MIDI note metrics + audio artifacts for the MidiAutoencoder."""
+
+  def __init__(self, sample_rate=16000, frame_rate=250,
+               db_key='loudness_db', f0_key='f0_hz'):
+    super().__init__(sample_rate, frame_rate)
+    self._midi_metrics = metrics_lib.MidiMetrics(
+        frames_per_second=frame_rate, tag='learned')
+    self._db_key = db_key
+    self._f0_key = f0_key
+
+  def evaluate(self, batch, outputs, losses):
+    del losses
+    self._midi_metrics.update_state(outputs,
+                                    np.asarray(outputs['pianoroll']))
+
+  def sample(self, batch, outputs, save_dir, step):
+    for k in ['midi_audio', 'synth_audio']:
+      if k in outputs and outputs[k] is not None:
+        summaries.sample_batch(save_dir, step, batch,
+                               np.asarray(outputs[k]), self._sample_rate,
+                               name=k)
+
+  def flush(self, step):
+    return self._midi_metrics.flush(step)
+
+
+class MidiHeuristicEvaluator(BaseEvaluator):
+  """MIDI note metrics for heuristic note segmentation."""
+
+  def __init__(self, sample_rate=16000, frame_rate=250):
+    super().__init__(sample_rate, frame_rate)
+    self._midi_metrics = metrics_lib.MidiMetrics(
+        tag='heuristic', frames_per_second=frame_rate)
+
+  def _compute_heuristic_notes(self, outputs):
+    from ddsp_tpu.eval import heuristics  # pylint: disable=g-import-not-at-top
+    return heuristics.segment_notes_batch(
+        binarize_f=heuristics.midi_heuristic,
+        pick_f0_f=heuristics.mean_f0,
+        pick_amps_f=heuristics.median_amps,
+        controls_batch=outputs,
+        frame_rate=self._frame_rate)
+
+  def evaluate(self, batch, outputs, losses):
+    del losses
+    notes = self._compute_heuristic_notes(outputs)
+    self._midi_metrics.update_state(outputs, notes)
+
+  def flush(self, step):
+    return self._midi_metrics.flush(step)

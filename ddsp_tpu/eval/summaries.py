@@ -85,7 +85,8 @@ def waveform_summary(path: str, audio: np.ndarray,
 
 
 def sample_batch(save_dir: str, step: int, batch, audio_gen,
-                 sample_rate: int = 16000, max_outputs: int = 4):
+                 sample_rate: int = 16000, max_outputs: int = 4,
+                 name: str = 'synth'):
   """Write wav + figure artifacts for up to max_outputs examples."""
   out_dir = os.path.join(save_dir, 'samples', f'step_{step}')
   audio = np.asarray(batch['audio'])
@@ -93,11 +94,59 @@ def sample_batch(save_dir: str, step: int, batch, audio_gen,
   for i in range(min(len(audio), max_outputs)):
     write_wav(os.path.join(out_dir, f'{i}_original.wav'), audio[i],
               sample_rate)
-    write_wav(os.path.join(out_dir, f'{i}_synth.wav'), audio_gen[i],
+    write_wav(os.path.join(out_dir, f'{i}_{name}.wav'), audio_gen[i],
               sample_rate)
-    spectrogram_summary(os.path.join(out_dir, f'{i}_spectrogram.png'),
+    spectrogram_summary(os.path.join(out_dir, f'{i}_{name}_spectrogram.png'),
                         audio[i], audio_gen[i], sample_rate)
-    waveform_summary(os.path.join(out_dir, f'{i}_waveform.png'),
+    waveform_summary(os.path.join(out_dir, f'{i}_{name}_waveform.png'),
                      audio[i], audio_gen[i])
   logger.info('Wrote samples to %s', out_dir)
   return out_dir
+
+
+def f0_summary(path: str, f0_hz: np.ndarray, f0_hz_predict: np.ndarray):
+  """Plot ground-truth vs predicted f0 in MIDI space (reference :130)."""
+  try:
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+  except ImportError:  # pragma: no cover
+    return
+  from ddsp_tpu.ops.core import hz_to_midi
+  f0 = np.asarray(hz_to_midi(np.squeeze(np.asarray(f0_hz))))
+  f0_pred = np.asarray(hz_to_midi(np.squeeze(np.asarray(f0_hz_predict))))
+  fig, ax = plt.subplots(figsize=(6.0, 2.5))
+  ax.plot(f0, label='original')
+  ax.plot(f0_pred, label='predicted')
+  ax.set_ylabel('f0 (MIDI)')
+  ax.legend()
+  os.makedirs(os.path.dirname(path), exist_ok=True)
+  fig.savefig(path, dpi=80, bbox_inches='tight')
+  plt.close(fig)
+
+
+def pianoroll_summary(path: str, pianoroll: np.ndarray,
+                      frame_rate: int = 250):
+  """Plot a [time, 128] pianoroll (reference pianoroll_summary:400)."""
+  try:
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+  except ImportError:  # pragma: no cover
+    return
+  roll = np.asarray(pianoroll)
+  fig, ax = plt.subplots(figsize=(6.0, 3.0))
+  ax.imshow(roll.T, aspect='auto', origin='lower',
+            extent=(0, roll.shape[0] / frame_rate, 0, roll.shape[1]))
+  ax.set_xlabel('time (s)')
+  ax.set_ylabel('MIDI pitch')
+  os.makedirs(os.path.dirname(path), exist_ok=True)
+  fig.savefig(path, dpi=80, bbox_inches='tight')
+  plt.close(fig)
+
+
+def midi_summary(path: str, note_sequence, frame_rate: int = 250):
+  """Plot segmented notes as a pianoroll (reference midi_summary:156)."""
+  from ddsp_tpu.eval.metrics import note_sequence_to_pianoroll
+  roll = note_sequence_to_pianoroll(note_sequence, frame_rate)
+  pianoroll_summary(path, roll, frame_rate)
