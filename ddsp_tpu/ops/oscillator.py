@@ -241,7 +241,8 @@ def harmonic_synthesis(frequencies: Array,
                        sample_rate: int = 16000,
                        amp_resample_method: str = 'window',
                        use_angular_cumsum: bool = False,
-                       factored_phase: bool = True) -> Array:
+                       factored_phase: bool = True,
+                       use_pallas: Optional[bool] = None) -> Array:
   """Generate audio from frame-wise monophonic harmonic oscillator bank.
 
   Args:
@@ -264,6 +265,10 @@ def harmonic_synthesis(frequencies: Array,
       fundamental phase and multiply by harmonic ratios (TPU fast path, O(T)
       scan instead of O(T*H)). Equal to the unfactored path within float32
       rounding.
+    use_pallas: Use the fused Pallas TPU kernel (interp + nyquist mask +
+      sin + harmonic reduce in one VMEM pass, custom VJP). None = auto:
+      enabled on TPU when shapes conform (see
+      pallas_kernels.harmonic_kernel_supported).
 
   Returns:
     audio: Output audio. Shape [batch_size, n_samples].
@@ -286,9 +291,6 @@ def harmonic_synthesis(frequencies: Array,
   else:
     harmonic_amplitudes = amplitudes
 
-  amplitude_envelopes = resample(harmonic_amplitudes, n_samples,
-                                 method=amp_resample_method)
-
   if harmonic_shifts is None and factored_phase:
     # TPU fast path: one phase accumulation for the fundamental; harmonics
     # are integer multiples of it. Since frequency resampling is linear,
@@ -300,6 +302,26 @@ def harmonic_synthesis(frequencies: Array,
       phase0 = angular_cumsum(omega)
     else:
       phase0 = jnp.cumsum(omega, axis=1)
+
+    n_frames = int(harmonic_amplitudes.shape[1])
+    if use_pallas is None:
+      from ddsp_tpu.ops import pallas_kernels  # pylint: disable=g-import-not-at-top
+      use_pallas = (jax.default_backend() == 'tpu' and
+                    amp_resample_method in ('window', 'linear') and
+                    pallas_kernels.harmonic_kernel_supported(
+                        n_samples, n_frames, n_harmonics))
+    if use_pallas:
+      # Fused VMEM pass: 2-tap amp upsampling + nyquist mask + sin +
+      # harmonic reduction, never materializing [batch, n_samples,
+      # n_harmonics] in HBM. Custom VJP mirrors it for the backward.
+      from ddsp_tpu.ops import pallas_kernels  # pylint: disable=g-import-not-at-top
+      return pallas_kernels.fused_harmonic_synthesis(
+          phase0[..., 0], f0_envelope[..., 0], harmonic_amplitudes,
+          sample_rate=sample_rate,
+          amp_resample_method=amp_resample_method)
+
+    amplitude_envelopes = resample(harmonic_amplitudes, n_samples,
+                                   method=amp_resample_method)
     f_ratios = jnp.linspace(1.0, float(n_harmonics), int(n_harmonics))
     f_ratios = f_ratios[jnp.newaxis, jnp.newaxis, :]
     # Nyquist mask in terms of the fundamental envelope.
@@ -307,6 +329,9 @@ def harmonic_synthesis(frequencies: Array,
         f0_envelope * f_ratios, amplitude_envelopes, sample_rate)
     wavs = jnp.sin(phase0 * f_ratios)
     return jnp.sum(amplitude_envelopes * wavs, axis=-1)
+
+  amplitude_envelopes = resample(harmonic_amplitudes, n_samples,
+                                 method=amp_resample_method)
 
   # General (reference-shaped) path: per-sinusoid phase accumulation.
   harmonic_frequencies = get_harmonic_frequencies(frequencies, n_harmonics)

@@ -1,0 +1,129 @@
+"""Tests for the fused Pallas harmonic-synthesis kernel (interpret mode).
+
+Verifies exact agreement (same float32 math) with the jnp factored path in
+forward and gradients, across 'window'/'linear' resampling, nyquist masking,
+and non-block-aligned frame counts.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddsp_tpu.ops import oscillator
+from ddsp_tpu.ops.pallas_kernels import (fused_harmonic_synthesis,
+                                         harmonic_kernel_supported)
+from ddsp_tpu.ops.resample import resample
+
+
+RNG = np.random.RandomState(0)
+SR = 16000
+
+
+def _controls(b=2, t=16, h=20, f_lo=200.0, f_hi=2200.0):
+  f0 = jnp.asarray((f_lo + (f_hi - f_lo) *
+                    RNG.rand(b, t, 1)).astype(np.float32))
+  amps = jnp.asarray(RNG.rand(b, t, 1).astype(np.float32))
+  hd = jnp.asarray(RNG.rand(b, t, h).astype(np.float32))
+  return f0, amps, hd
+
+
+def _pallas(f0, amps, hd, n, method='window'):
+  ham = amps * hd
+  f0_env = resample(f0, n)
+  phase0 = jnp.cumsum(f0_env * 2 * np.pi / SR, axis=1)[..., 0]
+  return fused_harmonic_synthesis(phase0, f0_env[..., 0], ham,
+                                  sample_rate=SR,
+                                  amp_resample_method=method,
+                                  interpret=True)
+
+
+def _jnp(f0, amps, hd, n, method='window'):
+  return oscillator.harmonic_synthesis(
+      f0, amps, harmonic_distribution=hd, n_samples=n, sample_rate=SR,
+      amp_resample_method=method, use_pallas=False)
+
+
+class TestFusedHarmonic:
+
+  def test_supported_shapes(self):
+    assert harmonic_kernel_supported(64000, 250, 100)
+    assert harmonic_kernel_supported(64000, 500, 60)
+    assert not harmonic_kernel_supported(64000, 250, 200)  # >128 harmonics
+    assert not harmonic_kernel_supported(64000, 251, 100)  # non-divisible
+    assert not harmonic_kernel_supported(16000, 250, 100)  # hop 64 < 128
+
+  @pytest.mark.parametrize('method', ['window', 'linear'])
+  def test_matches_jnp_forward(self, method):
+    n = 4096
+    f0, amps, hd = _controls()
+    a = np.asarray(_jnp(f0, amps, hd, n, method))
+    b = np.asarray(_pallas(f0, amps, hd, n, method))
+    np.testing.assert_allclose(a, b, atol=4e-3)
+
+  def test_matches_jnp_gradients(self):
+    n = 4096
+    f0, amps, hd = _controls()
+    ga = jax.grad(lambda a, h, f: jnp.mean(_jnp(f, a, h, n)**2),
+                  argnums=(0, 1, 2))(amps, hd, f0)
+    gb = jax.grad(lambda a, h, f: jnp.mean(_pallas(f, a, h, n)**2),
+                  argnums=(0, 1, 2))(amps, hd, f0)
+    for da, db in zip(ga, gb):
+      da, db = np.asarray(da), np.asarray(db)
+      scale = np.abs(da).max() + 1e-12
+      np.testing.assert_allclose(da / scale, db / scale, atol=5e-3)
+
+  def test_nyquist_masking(self):
+    # High f0: upper harmonics silent in both paths.
+    n = 2048
+    f0, amps, hd = _controls(t=8, h=16, f_lo=3000.0, f_hi=5000.0)
+    a = np.asarray(_jnp(f0, amps, hd, n))
+    b = np.asarray(_pallas(f0, amps, hd, n))
+    np.testing.assert_allclose(a, b, atol=4e-3)
+
+  def test_non_block_aligned_frames(self):
+    # 10 frames: not a multiple of the 8-hop block (exercises padding).
+    n = 1280  # hop 128
+    f0, amps, hd = _controls(t=10, h=12)
+    a = np.asarray(_jnp(f0, amps, hd, n))
+    b = np.asarray(_pallas(f0, amps, hd, n))
+    np.testing.assert_allclose(a, b, atol=4e-3)
+
+  def test_gradient_finite_difference(self):
+    # Independent check of the custom VJP against finite differences.
+    n = 1024
+    f0, amps, hd = _controls(b=1, t=8, h=6)
+    ham = amps * hd
+
+    def loss(ham):
+      f0_env = resample(f0, n)
+      phase0 = jnp.cumsum(f0_env * 2 * np.pi / SR, axis=1)[..., 0]
+      audio = fused_harmonic_synthesis(phase0, f0_env[..., 0], ham,
+                                       sample_rate=SR, interpret=True)
+      return jnp.sum(audio**2)
+
+    g = np.asarray(jax.grad(loss)(ham))
+    eps = 1e-3
+    for idx in [(0, 2, 1), (0, 5, 3), (0, 7, 0)]:
+      dh = np.zeros_like(np.asarray(ham))
+      dh[idx] = eps
+      fd = (float(loss(ham + dh)) - float(loss(ham - dh))) / (2 * eps)
+      np.testing.assert_allclose(g[idx], fd, rtol=2e-2, atol=1e-3)
+
+  def test_long_phase_accuracy(self):
+    # The kernel wraps phase before multiplying by harmonic ratios, so its
+    # error vs a float64 golden must not exceed the jnp path's.
+    n = 16384
+    f0, amps, hd = _controls(t=16, h=24)
+    f0_env = np.asarray(resample(f0, n), np.float64)
+    amp_env = np.asarray(resample(amps * hd, n, method='window'),
+                         np.float64)
+    phase = np.cumsum(f0_env * 2 * np.pi / SR, axis=1)
+    ratios = np.arange(1, 25, dtype=np.float64)
+    mask = (f0_env * ratios) < SR / 2
+    golden = np.sum(np.where(mask, amp_env, 0.0) * np.sin(phase * ratios),
+                    axis=-1)
+    b = np.asarray(_pallas(f0, amps, hd, n))
+    a = np.asarray(_jnp(f0, amps, hd, n))
+    assert np.abs(b - golden).mean() <= np.abs(a - golden).mean() * 1.5
+    assert np.abs(b - golden).mean() < 5e-3
