@@ -65,6 +65,12 @@ def main(argv=None):
   parser.add_argument('--run_once', action='store_true')
   parser.add_argument('--platform', default='',
                       help="Force a jax platform (e.g. 'cpu')")
+  parser.add_argument('--profile_dir', default='',
+                      help='Capture a jax.profiler trace to this directory')
+  parser.add_argument('--multihost', action='store_true',
+                      help='Initialize jax.distributed for multi-host TPU '
+                           'pods (coordinator/worker config from the TPU '
+                           'environment)')
   parser.add_argument('--n_devices', type=int, default=0,
                       help='Limit device count (0 = all)')
   args = parser.parse_args(argv)
@@ -78,6 +84,11 @@ def main(argv=None):
     jax.config.update('jax_platforms', args.platform)
 
   import jax
+  if args.multihost:
+    # Multi-host data parallelism: one process per host; the mesh spans all
+    # hosts (ICI within slice, DCN across); each host feeds its local shard
+    # of the batch (reference MultiWorkerMirroredStrategy, train_util.py:63).
+    jax.distributed.initialize()
   from ddsp_tpu import utils
   from ddsp_tpu.parallel import create_mesh
   from ddsp_tpu.train import Trainer, train
@@ -112,7 +123,8 @@ def main(argv=None):
           steps_per_save=args.steps_per_save,
           save_dir=args.save_dir,
           restore_dir=args.restore_dir or args.save_dir,
-          early_stop_loss_value=args.early_stop_loss_value)
+          early_stop_loss_value=args.early_stop_loss_value,
+          profile_dir=args.profile_dir or None)
   else:
     from ddsp_tpu.eval import eval_util
     eval_util.evaluate_or_sample(

@@ -4,6 +4,11 @@ Reference behavior: /root/reference/ddsp/training/train_util.py (train:212,
 write_gin_config:171, get_latest_checkpoint:119): iterate batches, track
 mean losses, log steps/sec, periodic checkpoints and summaries, early stop,
 operative-spec artifact written at start.
+
+TPU-native notes: loss scalars stay on-device between summary intervals so
+the dispatch queue never blocks on a host transfer (a per-step device_get
+would serialize the pipeline); jax.profiler trace capture is first-class
+(`profile_dir`), covering steps [profile_start, profile_start+profile_steps).
 """
 
 from __future__ import annotations
@@ -12,7 +17,7 @@ import json
 import logging
 import os
 import time
-from typing import Any, Dict, Iterator, Optional
+from typing import Any, Dict, Iterator, List, Optional
 
 import jax
 import numpy as np
@@ -60,7 +65,11 @@ def train(data_iterator: Iterator[Dict[str, Any]],
           save_dir: Optional[str] = None,
           restore_dir: Optional[str] = None,
           early_stop_loss_value: Optional[float] = None,
-          report_loss_to_hypertune: bool = False) -> TrainState:
+          report_loss_to_hypertune: bool = False,
+          profile_dir: Optional[str] = None,
+          profile_start: int = 10,
+          profile_steps: int = 10,
+          log_every_step: bool = False) -> TrainState:
   """Main training loop.
 
   Args:
@@ -68,11 +77,20 @@ def train(data_iterator: Iterator[Dict[str, Any]],
     trainer: A Trainer binding model, optimizer, and mesh.
     num_steps: Total training steps.
     steps_per_summary: Interval for scalar summaries / steps-per-sec logs.
+      Loss values only cross to the host at this interval (and at early-stop
+      checks), keeping the device dispatch queue full.
     steps_per_save: Interval for checkpoints.
     save_dir: Where to write checkpoints/summaries; None disables saving.
     restore_dir: Where to restore from (defaults to save_dir).
-    early_stop_loss_value: Stop early when total_loss <= this value.
+    early_stop_loss_value: Stop early when total_loss <= this value
+      (checked at summary intervals).
     report_loss_to_hypertune: Placeholder for cloud hypertune parity.
+    profile_dir: Capture a jax.profiler trace (viewable in TensorBoard /
+      Perfetto) into this directory.
+    profile_start: First step of the trace window.
+    profile_steps: Number of steps to trace.
+    log_every_step: Log losses every step (forces per-step host sync; debug
+      only - the reference's behavior).
 
   Returns:
     The final TrainState.
@@ -89,44 +107,64 @@ def train(data_iterator: Iterator[Dict[str, Any]],
 
   writer = MetricsWriter(save_dir) if save_dir else None
 
-  loss_sums: Dict[str, float] = {}
-  loss_counts = 0
+  # On-device loss accumulation between summaries: no host syncs inside
+  # the hot loop.
+  pending_losses: List[Dict[str, Any]] = []
   last_summary_time = time.time()
-  step = int(jax.device_get(state.step))
+  last_summary_step = step = int(jax.device_get(state.step))
+  profiling = False
 
   while step < num_steps:
+    if profile_dir and step == profile_start and not profiling:
+      jax.profiler.start_trace(profile_dir)
+      profiling = True
+
     state, losses = trainer.train_step(state, batch)
     batch = next(data_iterator)
     step += 1
+    pending_losses.append(losses)
 
-    losses = {k: float(v) for k, v in jax.device_get(losses).items()}
-    for k, v in losses.items():
-      loss_sums[k] = loss_sums.get(k, 0.0) + v
-    loss_counts += 1
+    if profiling and step >= profile_start + profile_steps:
+      jax.block_until_ready(losses)
+      jax.profiler.stop_trace()
+      profiling = False
+      logger.info('Wrote profiler trace to %s', profile_dir)
 
-    log_str = f'step: {step}\t' + '\t'.join(
-        f'{k}: {v:.2f}' for k, v in losses.items())
-    logger.info(log_str)
+    if log_every_step:
+      host_losses = {k: float(v)
+                     for k, v in jax.device_get(losses).items()}
+      logger.info('step: %d\t%s', step, '\t'.join(
+          f'{k}: {v:.2f}' for k, v in host_losses.items()))
 
-    if step % steps_per_summary == 0 and loss_counts:
-      mean_losses = {k: v / loss_counts for k, v in loss_sums.items()}
+    if step % steps_per_summary == 0 and pending_losses:
+      host = [jax.device_get(l) for l in pending_losses]
+      mean_losses = {
+          k: float(np.mean([h[k] for h in host])) for k in host[0]}
       elapsed = time.time() - last_summary_time
-      steps_per_sec = steps_per_summary / max(elapsed, 1e-9)
+      steps_per_sec = (step - last_summary_step) / max(elapsed, 1e-9)
+      logger.info('step: %d\tsteps/s: %.2f\t%s', step, steps_per_sec,
+                  '\t'.join(f'{k}: {v:.2f}'
+                            for k, v in mean_losses.items()))
       if writer:
         writer.scalars(step, dict(mean_losses,
                                   steps_per_sec=steps_per_sec))
-      loss_sums, loss_counts = {}, 0
+      last_total = float(host[-1].get('total_loss', np.inf))
+      pending_losses = []
       last_summary_time = time.time()
+      last_summary_step = step
+
+      if (early_stop_loss_value is not None
+          and last_total <= early_stop_loss_value):
+        logger.info('Total loss reached early stop value %s at step %d.',
+                    early_stop_loss_value, step)
+        break
 
     if save_dir and step % steps_per_save == 0:
       save_time = trainer.save(state, save_dir)
       logger.info('Saved checkpoint at step %d (%.2fs).', step, save_time)
 
-    if (early_stop_loss_value is not None
-        and losses.get('total_loss', np.inf) <= early_stop_loss_value):
-      logger.info('Total loss reached early stop value %s at step %d.',
-                  early_stop_loss_value, step)
-      break
+  if profiling:
+    jax.profiler.stop_trace()
 
   if save_dir:
     trainer.save(state, save_dir)
