@@ -47,6 +47,11 @@ def crc32c(data: bytes) -> int:
 
 
 def _masked_crc(data: bytes) -> int:
+  # Native C codec when available (ddsp_tpu/native); pure Python fallback.
+  from ddsp_tpu import native  # pylint: disable=g-import-not-at-top
+  masked = native.masked_crc(data)
+  if masked is not None:
+    return masked
   crc = crc32c(data)
   return ((((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF)
 
@@ -73,8 +78,13 @@ def read_records(path: str, verify_crc: bool = False) -> Iterator[bytes]:
 
 def write_records(path: str, records: List[bytes]):
   """Write raw payloads as a TFRecord file."""
+  from ddsp_tpu import native  # pylint: disable=g-import-not-at-top
+  use_native = native.load_codec() is not None
   with open(path, 'wb') as f:
     for data in records:
+      if use_native:
+        f.write(native.frame_record(data))
+        continue
       header = struct.pack('<Q', len(data))
       f.write(header)
       f.write(struct.pack('<I', _masked_crc(header)))
@@ -218,7 +228,7 @@ def _length_delimited(field: int, payload: bytes) -> bytes:
 
 def serialize_example(features: Dict[str, Any]) -> bytes:
   """Serialize {name: float array | int array | list[bytes]} to tf.Example."""
-  entries = b''
+  parts = []
   for key, value in features.items():
     if isinstance(value, (list, tuple)) and value and isinstance(
         value[0], (bytes, str)):
@@ -236,8 +246,8 @@ def serialize_example(features: Dict[str, Any]) -> bytes:
         feature = _length_delimited(2, _length_delimited(1, payload))
     entry = _length_delimited(1, key.encode('utf-8')) + _length_delimited(
         2, feature)
-    entries += _length_delimited(1, entry)
-  return _length_delimited(1, entries)
+    parts.append(_length_delimited(1, entry))
+  return _length_delimited(1, b''.join(parts))
 
 
 def write_examples(path: str, examples: List[Dict[str, Any]]):
