@@ -14,3 +14,4 @@ from ddsp_tpu.eval.evaluators import F0LdEvaluator  # noqa: F401,E402
 from ddsp_tpu.eval.evaluators import MidiAutoencoderEvaluator  # noqa: F401,E402
 from ddsp_tpu.eval.evaluators import MidiHeuristicEvaluator  # noqa: F401,E402
 from ddsp_tpu.eval.evaluators import TWMEvaluator  # noqa: F401,E402
+from ddsp_tpu.eval import plotting  # noqa: F401,E402

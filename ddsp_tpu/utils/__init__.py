@@ -7,3 +7,4 @@ from ddsp_tpu.utils.registry import load_spec  # noqa: F401
 from ddsp_tpu.utils.registry import model_from_spec  # noqa: F401
 from ddsp_tpu.utils.registry import register_preset  # noqa: F401
 from ddsp_tpu.utils.registry import save_spec  # noqa: F401
+from ddsp_tpu.utils import cloud  # noqa: F401,E402
