@@ -298,3 +298,29 @@ class Normalize(nn.Module):
     x = normalize_op(x, self.norm_type)
     x = x * scale + shift
     return inv_ensure_4d(x, n_dims)
+
+
+class OutputSplitsModule(DictModule):
+  """Single network head split into a dict of named control outputs.
+
+  Reference behavior: nn.py:249 (OutputSplitsLayer). Subclasses implement
+  `compute_output(*inputs) -> [batch, time, n_out]` where n_out is the sum
+  of the output_splits sizes; the result is split into the declared dict.
+  """
+
+  input_keys: tuple = ()
+  output_splits: tuple = (('amps', 1),)
+
+  def _output_keys(self):
+    return [v[0] for v in self.output_splits]
+
+  @property
+  def n_out(self) -> int:
+    return sum(v[1] for v in self.output_splits)
+
+  def forward(self, *inputs, **kwargs):
+    output = self.compute_output(*inputs, **kwargs)
+    return split_to_dict(output, self.output_splits)
+
+  def compute_output(self, *inputs, **kwargs):
+    raise NotImplementedError
