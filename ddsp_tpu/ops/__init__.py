@@ -53,3 +53,4 @@ from ddsp_tpu.ops.crepe import CrepeModel  # noqa: F401,E402
 from ddsp_tpu.ops.crepe import PretrainedCrepe  # noqa: F401,E402
 from ddsp_tpu.ops.spectral import compute_f0  # noqa: F401,E402
 from ddsp_tpu.ops.spectral import reset_crepe  # noqa: F401,E402
+from ddsp_tpu.ops.spectral import stft_np  # noqa: F401,E402

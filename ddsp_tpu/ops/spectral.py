@@ -456,3 +456,33 @@ def compute_f0(audio, frame_rate: int, viterbi: bool = True,
   if was_1d:
     f0_hz, f0_confidence = f0_hz[0], f0_confidence[0]
   return f0_hz, f0_confidence
+
+
+def stft_np(audio, frame_size: int = 2048, overlap: float = 0.75,
+            pad_end: bool = True):
+  """Non-differentiable numpy STFT matching stft() (reference :50).
+
+  The reference delegates to librosa; this computes the same frames/window
+  in numpy directly (periodic hann, hop = frame_size * (1 - overlap)).
+  """
+  import numpy as _np
+  audio = _np.asarray(audio, _np.float32)
+  is_1d = audio.ndim == 1
+  if is_1d:
+    audio = audio[_np.newaxis, :]
+
+  hop_size = int(frame_size * (1.0 - overlap))
+  if pad_end:
+    n_frames = int(_np.ceil(audio.shape[1] / hop_size))
+    pad = max(0, (n_frames - 1) * hop_size + frame_size - audio.shape[1])
+    audio = _np.pad(audio, ((0, 0), (0, pad)))
+  n_frames = 1 + (audio.shape[1] - frame_size) // hop_size
+  idx = (_np.arange(n_frames)[:, None] * hop_size +
+         _np.arange(frame_size)[None, :])
+  frames = audio[:, idx]
+
+  window = 0.5 - 0.5 * _np.cos(
+      2.0 * _np.pi * _np.arange(frame_size) / frame_size)
+  fft_size = int(2**_np.ceil(_np.log2(frame_size)))
+  s = _np.fft.rfft(frames * window, fft_size)
+  return s[0] if is_1d else s
