@@ -1,0 +1,158 @@
+"""Run every BASELINE.md workload on the current backend and save JSON.
+
+Workloads (BASELINE.md, derived from BASELINE.json):
+  1. Harmonic synth forward: batch 1, 4 s @ 16 kHz, 100 harmonics.
+  2. FilteredNoise: 65-band frequency-sampled FIR, batch 8.
+  3. ProcessorGroup chain (harmonic + noise + reverb), batch 16, fwd+grad
+     - this is bench.py's headline metric.
+  4. Single-sound training loop (full model + multi-scale spectral loss +
+     Adam), steps/s.
+
+Usage: python benchmarks/run_all.py [--iters 30] [--out results.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SR = 16000
+N_SAMPLES = 64000
+N_FRAMES = 250
+
+
+def _sync(tree):
+  import jax
+  leaf = jax.tree_util.tree_leaves(tree)[0]
+  np.asarray(leaf).ravel()[:1]  # force a transfer (tunnel-proof sync)
+
+
+def _time(fn, args, iters):
+  r = fn(*args)
+  _sync(r)
+  t0 = time.perf_counter()
+  for _ in range(iters):
+    r = fn(*args)
+  _sync(r)
+  return (time.perf_counter() - t0) / iters
+
+
+def bench_harmonic_forward(iters):
+  import jax, jax.numpy as jnp
+  from ddsp_tpu import ops
+  rng = np.random.RandomState(0)
+  f0 = jnp.asarray(200 + 100 * rng.rand(1, N_FRAMES, 1).astype(np.float32))
+  amps = jnp.asarray(rng.rand(1, N_FRAMES, 1).astype(np.float32))
+  hd = jnp.asarray(rng.rand(1, N_FRAMES, 100).astype(np.float32))
+  fn = jax.jit(lambda a, h, f: ops.harmonic_synthesis(
+      f, a, harmonic_distribution=h, n_samples=N_SAMPLES))
+  dt = _time(fn, (amps, hd, f0), iters)
+  return {'seconds_per_step': dt, 'audio_samples_per_s': N_SAMPLES / dt}
+
+
+def bench_filtered_noise(iters):
+  import jax, jax.numpy as jnp
+  from ddsp_tpu import ops
+  rng = np.random.RandomState(0)
+  batch = 8
+  audio = jnp.asarray(rng.randn(batch, N_SAMPLES).astype(np.float32) * .1)
+  mags = jnp.asarray(rng.rand(batch, N_FRAMES, 65).astype(np.float32))
+  fn = jax.jit(lambda a, m: ops.frequency_filter(
+      a, ops.exp_sigmoid(m), window_size=257))
+  dt = _time(fn, (audio, mags), iters)
+  return {'seconds_per_step': dt,
+          'audio_samples_per_s': batch * N_SAMPLES / dt}
+
+
+def bench_chain_fwd_grad(iters):
+  import jax, jax.numpy as jnp
+  from ddsp_tpu import proc
+  batch = 16
+  dag = [
+      (proc.Harmonic(n_samples=N_SAMPLES, sample_rate=SR, name='harmonic'),
+       ['amps', 'harmonic_distribution', 'f0_hz']),
+      (proc.FilteredNoise(n_samples=N_SAMPLES, window_size=257,
+                          name='filtered_noise'), ['noise_magnitudes']),
+      (proc.Add(name='add'), ['filtered_noise/signal', 'harmonic/signal']),
+      (proc.Reverb(trainable=True, reverb_length=48000, name='reverb'),
+       ['add/signal']),
+  ]
+  pg = proc.ProcessorGroup(dag=dag)
+  rng = np.random.RandomState(0)
+  inputs = {
+      'amps': rng.randn(batch, N_FRAMES, 1).astype(np.float32),
+      'harmonic_distribution': rng.randn(batch, N_FRAMES,
+                                         100).astype(np.float32),
+      'f0_hz': (200 + 100 * rng.rand(batch, N_FRAMES,
+                                     1)).astype(np.float32),
+      'noise_magnitudes': rng.randn(batch, N_FRAMES,
+                                    65).astype(np.float32),
+  }
+  variables = pg.init({'params': jax.random.PRNGKey(0),
+                       'noise': jax.random.PRNGKey(1)}, inputs)
+
+  def loss_fn(params, inputs):
+    audio = pg.apply({'params': params}, inputs,
+                     rngs={'noise': jax.random.PRNGKey(2)})
+    return jax.numpy.mean(audio**2)
+
+  fn = jax.jit(jax.value_and_grad(loss_fn))
+  dt = _time(fn, (variables.get('params', {}), inputs), iters)
+  return {'seconds_per_step': dt,
+          'audio_samples_per_s': batch * N_SAMPLES / dt}
+
+
+def bench_training_steps(iters):
+  import jax
+  from ddsp_tpu import utils
+  from ddsp_tpu.data import SyntheticSinusoidProvider
+  from ddsp_tpu.parallel import create_mesh
+  from ddsp_tpu.train import Trainer
+
+  model = utils.build_model('solo_instrument')
+  provider = SyntheticSinusoidProvider(n_samples=N_SAMPLES, sample_rate=SR,
+                                       frame_rate=250, n_examples=4)
+  batch = next(provider.get_batch(4, shuffle=False))
+  trainer = Trainer(model, mesh=create_mesh(n_data=1,
+                                            devices=jax.devices()[:1]))
+  state = trainer.init(batch)
+  state, losses = trainer.train_step(state, batch)
+  _sync(losses)
+  t0 = time.perf_counter()
+  for _ in range(iters):
+    state, losses = trainer.train_step(state, batch)
+  _sync(losses)
+  dt = (time.perf_counter() - t0) / iters
+  return {'seconds_per_step': dt, 'steps_per_s': 1.0 / dt,
+          'batch_size': 4}
+
+
+def main():
+  parser = argparse.ArgumentParser(description=__doc__)
+  parser.add_argument('--iters', type=int, default=30)
+  parser.add_argument('--out', default=os.path.join(
+      os.path.dirname(os.path.abspath(__file__)), 'results.json'))
+  args = parser.parse_args()
+
+  import jax
+  results = {'backend': jax.default_backend(),
+             'device': str(jax.devices()[0])}
+  for name, fn in [('harmonic_forward_batch1', bench_harmonic_forward),
+                   ('filtered_noise_batch8', bench_filtered_noise),
+                   ('chain_fwd_grad_batch16', bench_chain_fwd_grad),
+                   ('train_steps_batch4', bench_training_steps)]:
+    results[name] = fn(args.iters)
+    print(name, json.dumps(results[name]))
+
+  with open(args.out, 'w') as f:
+    json.dump(results, f, indent=2, sort_keys=True)
+  print('Wrote', args.out)
+
+
+if __name__ == '__main__':
+  main()
