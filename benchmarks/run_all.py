@@ -33,6 +33,10 @@ def _sync(tree):
 
 
 def _time(fn, args, iters):
+  import jax
+  # Steady-state training keeps data on-device; don't measure host->device
+  # transfers (which cross a network tunnel on this box).
+  args = jax.device_put(args)
   r = fn(*args)
   _sync(r)
   t0 = time.perf_counter()
@@ -121,6 +125,7 @@ def bench_training_steps(iters):
   trainer = Trainer(model, mesh=create_mesh(n_data=1,
                                             devices=jax.devices()[:1]))
   state = trainer.init(batch)
+  batch = jax.device_put(batch)
   state, losses = trainer.train_step(state, batch)
   _sync(losses)
   t0 = time.perf_counter()
