@@ -200,3 +200,111 @@ def vst(sample_rate: int = 16000,
       processor_group=proc.ProcessorGroup(dag=dag),
       losses=(losses_lib.SpectralLoss(loss_type='L1', mag_weight=1.0,
                                       logmag_weight=1.0),))
+
+
+@register_preset('midiae')
+def midiae(n_samples: int = 64000,
+           sample_rate: int = 16000,
+           time_steps: int = 1000,
+           n_harmonics: int = 60,
+           n_noise_magnitudes: int = 65,
+           ch: int = 128,
+           layers_per_stack: int = 9,
+           stacks: int = 2,
+           reverb: bool = True,
+           reverb_length: int = 24000,
+           use_midi_encoder: bool = True):
+  """MidiAutoencoder: DDSP synthcoder + quantized-MIDI bottleneck.
+
+  Reference: gin/models/midiae/midiae.gin (+ the midi_encoder mixin):
+  DilatedConvDecoder synthcoder, MidiToHarmonicDecoder, reconstruction
+  LossGroup (spectral + f0/amps/hd/noise params). With
+  use_midi_encoder=False, ground-truth MIDI comes from
+  features['note_active_velocities'] (URMP-style data).
+  """
+  from ddsp_tpu.models import MarginLoss, MidiAutoencoder
+
+  midi_encoder = None
+  if use_midi_encoder:
+    midi_encoder = nn.HarmonicToMidiEncoder(
+        net=nn.DilatedConvStack(ch=ch, layers_per_stack=5, stacks=4,
+                                norm_type='layer'))
+
+  recon_losses = losses_lib.LossGroup(dag=[
+      (losses_lib.SpectralLoss(loss_type='L1', mag_weight=1.0,
+                               logmag_weight=1.0,
+                               name='synth_spectral_loss'),
+       ['audio', 'synth_audio']),
+      (losses_lib.ParamLoss(weight=50.0, loss_type='L2', name='f0_loss'),
+       ['f0_midi', 'f0_midi_pred', 'f0_loss_weights']),
+      (losses_lib.ParamLoss(weight=0.5, name='amps_loss'),
+       ['amps', 'amps_pred']),
+      (losses_lib.ParamLoss(weight=500.0, name='hd_loss'),
+       ['hd', 'hd_pred']),
+      (losses_lib.ParamLoss(weight=0.5, name='noise_loss'),
+       ['noise', 'noise_pred']),
+  ])
+
+  return MidiAutoencoder(
+      preprocessor=nn.F0LoudnessPreprocessor(time_steps=time_steps,
+                                             sample_rate=sample_rate),
+      synthcoder=nn.DilatedConvDecoder(
+          ch=ch, layers_per_stack=layers_per_stack, stacks=stacks,
+          norm_type='layer', conditioning_keys=(),
+          input_keys=('ld_scaled', 'f0_scaled'),
+          output_splits=(('amplitudes', 1),
+                         ('harmonic_distribution', n_harmonics),
+                         ('magnitudes', n_noise_magnitudes))),
+      midi_encoder=midi_encoder,
+      midi_decoder=nn.MidiToHarmonicDecoder(
+          net=nn.DilatedConvStack(ch=ch, layers_per_stack=5, stacks=4,
+                                  norm_type='layer'),
+          f0_residual=True,
+          output_splits=(('f0_midi', 1), ('amplitudes', 1),
+                         ('harmonic_distribution', n_harmonics),
+                         ('magnitudes', n_noise_magnitudes))),
+      reconstruction_losses=recon_losses,
+      qpitch_f0rec_loss=MarginLoss(weight=50.0, margin=0.5),
+      n_samples=n_samples, sample_rate=sample_rate,
+      reverb=reverb, reverb_length=reverb_length)
+
+
+@register_preset('inverse_synthesis')
+def inverse_synthesis(n_samples: int = 64000,
+                      sample_rate: int = 16000,
+                      n_sinusoids: int = 100,
+                      freq_depth: int = 64,
+                      n_harmonics: int = 100,
+                      n_noise_magnitudes: int = 65,
+                      resnet_size: str = 'small',
+                      reverb: bool = False):
+  """DDSP-INV self-supervised hierarchical model.
+
+  Reference: gin/papers/icml2020/pretrain_model.gin: ResnetSinusoidalEncoder
+  ('small', logmel 229 bins), SinusoidalToHarmonicEncoder (RnnSandwich),
+  KDE sinusoidal consistency, harmonic + filtered-noise consistency.
+  """
+  from ddsp_tpu.models import InverseSynthesis
+
+  return InverseSynthesis(
+      sinusoidal_encoder=nn.ResnetSinusoidalEncoder(
+          size=resnet_size,
+          output_splits=(('frequencies', n_sinusoids * freq_depth),
+                         ('amplitudes', n_sinusoids),
+                         ('noise_magnitudes', n_noise_magnitudes))),
+      harmonic_encoder=nn.SinusoidalToHarmonicEncoder(
+          net=nn.RnnSandwich(), n_harmonics=n_harmonics,
+          f0_depth=freq_depth),
+      losses=(losses_lib.SpectralLoss(loss_type='L1', mag_weight=1.0,
+                                      logmag_weight=1.0),),
+      sinusoidal_consistency_losses=(
+          losses_lib.KDEConsistencyLoss(weight_a=1.0, weight_b=1.0,
+                                        scale_a=0.1, scale_b=0.1),),
+      harmonic_consistency_losses=(
+          losses_lib.HarmonicConsistencyLoss(amp_weight=1.0,
+                                             dist_weight=1.0,
+                                             f0_weight=1.0),),
+      filtered_noise_consistency_loss=(
+          losses_lib.FilteredNoiseConsistencyLoss(weight=1.0)),
+      freq_depth=freq_depth,
+      n_samples=n_samples, sample_rate=sample_rate, reverb=reverb)
