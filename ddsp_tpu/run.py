@@ -22,9 +22,15 @@ import sys
 
 
 def build_data_provider(spec: str, n_samples: int, sample_rate: int,
-                        frame_rate: int):
-  """'synthetic[:n]', 'tfrecord:<pattern>' -> DataProvider."""
+                        frame_rate: int, model_kwargs=None):
+  """Data spec -> DataProvider.
+
+  Specs: 'synthetic[:n]' (sinusoids), 'tfrecord:<pattern>',
+  'synthetic_notes[:pattern]' (self-supervised controls, generated on the
+  fly when no pattern given), 'urmp:<dir>[:instrument]' (MIDI-annotated).
+  """
   from ddsp_tpu import data as data_lib
+  model_kwargs = model_kwargs or {}
   kind, _, arg = spec.partition(':')
   if kind == 'synthetic':
     n_examples = int(arg) if arg else 64
@@ -35,9 +41,25 @@ def build_data_provider(spec: str, n_samples: int, sample_rate: int,
     return data_lib.TFRecordProvider(
         arg, example_secs=n_samples // sample_rate,
         sample_rate=sample_rate, frame_rate=frame_rate)
+  elif kind == 'synthetic_notes':
+    return data_lib.SyntheticNotesProvider(
+        n_timesteps=model_kwargs.get('time_steps', 125),
+        n_harmonics=model_kwargs.get('n_harmonics',
+                                     model_kwargs.get('n_sinusoids', 100)),
+        n_mags=model_kwargs.get('n_noise_magnitudes', 65),
+        file_pattern=arg or None,
+        sample_rate=sample_rate)
+  elif kind == 'urmp':
+    base_dir, _, instrument = arg.partition(':')
+    return data_lib.UrmpMidi(base_dir,
+                             instrument_key=instrument or 'all',
+                             sample_rate=sample_rate,
+                             frame_rate=frame_rate)
   else:
-    raise ValueError(f'Unknown data spec {spec!r} '
-                     "(use 'synthetic[:n]' or 'tfrecord:<pattern>')")
+    raise ValueError(
+        f'Unknown data spec {spec!r} '
+        "(use 'synthetic[:n]', 'tfrecord:<pattern>', "
+        "'synthetic_notes[:pattern]', or 'urmp:<dir>[:inst]')")
 
 
 def main(argv=None):
@@ -107,7 +129,7 @@ def main(argv=None):
 
   n_samples = model_kwargs.get('n_samples', 64000)
   provider = build_data_provider(args.data, n_samples, args.sample_rate,
-                                 args.frame_rate)
+                                 args.frame_rate, model_kwargs)
 
   devices = jax.devices()
   if args.n_devices:
