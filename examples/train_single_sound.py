@@ -50,7 +50,12 @@ def main():
   f0 = 220.0 * (1 + 0.01 * np.sin(2 * np.pi * 5 * t))
   phase = 2 * np.pi * np.cumsum(f0) / sr
   env = np.exp(-t * 0.8)
-  audio = (0.7 * env * np.sin(phase)).astype(np.float32)
+  audio = 0.7 * env * np.sin(phase)
+  # A realistic noise floor (~-50 dB) matters: the logmag spectral loss is
+  # pathological on numerically-pristine targets (in the reference's TF
+  # formulation too) because silent bins dominate the log distance.
+  audio = (audio + 3e-3 * np.random.RandomState(0).randn(n_samples)
+           ).astype(np.float32)
   frame_idx = (np.arange(n_frames) * (n_samples / n_frames)).astype(int)
   example = {
       'audio': audio,
