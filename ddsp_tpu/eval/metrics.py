@@ -255,8 +255,11 @@ class EvalCounts:
 
   @property
   def f1(self) -> float:
+    # Note: the reference clamps the denominator to 1 (metrics.py:374-377),
+    # which understates F1 whenever precision + recall < 1; this only
+    # guards division by zero.
     return (2 * self.precision * self.recall) / max(
-        self.precision + self.recall, 1)
+        self.precision + self.recall, 1e-8)
 
 
 def match_notes(ref_intervals: np.ndarray, ref_pitches_hz: np.ndarray,

@@ -184,11 +184,13 @@ class _VSTBase(_SpecInference):
                      restore_keys=restore_keys)
 
 
-class VSTExtractFeatures(_VSTBase):
+class VSTExtractFeatures:
   """Per-frame feature extraction: audio[frame_size] -> f0/power scalars.
 
-  The reference runs CREPE in-graph here; pitch tracking requires CREPE
-  weights on disk (ops.crepe), power works always.
+  Standalone (no checkpoint needed - feature extraction has no trained
+  params; the reference leaves the preprocessor un-restored too,
+  inference.py:166-170). The reference runs CREPE in-graph here; pitch
+  tracking requires CREPE weights on disk (ops.crepe), power works always.
   """
 
   def __init__(self, save_dir: str, compute_f0: bool = True,

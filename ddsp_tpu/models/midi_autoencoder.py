@@ -295,6 +295,19 @@ class MidiAutoencoder(Model):
         self._closeness_loss(losses_dict, self.qpitch_f0rec_loss,
                              f0_midi_pred, q_pitch, 'qpitch_f0rec_loss')
 
+    outputs = self._assemble_outputs(
+        features, losses_dict, training, synth_params, synth_audio,
+        midi_synth_params, midi_audio, q_pitch, q_vel, f0_midi_pred,
+        amps, hd, noise, amps_pred, hd_pred, noise_pred, f0_loss_weights,
+        extra_outputs={'z_pitch': z_pitch})
+    return outputs, losses_dict
+
+  def _assemble_outputs(self, features, losses_dict, training,
+                        synth_params, synth_audio, midi_synth_params,
+                        midi_audio, q_pitch, q_vel, f0_midi_pred,
+                        amps, hd, noise, amps_pred, hd_pred, noise_pred,
+                        f0_loss_weights, extra_outputs=None):
+    """Shared outputs-dict assembly + reconstruction losses (both classes)."""
     outputs = {
         'synth_params': synth_params,
         'synth_audio': synth_audio,
@@ -302,7 +315,6 @@ class MidiAutoencoder(Model):
         'midi_audio': midi_audio,
         'q_pitch': q_pitch,
         'q_vel': q_vel,
-        'z_pitch': z_pitch,
         'pianoroll': self.midi_to_pianoroll(q_pitch, q_vel),
         'f0_midi_pred': f0_midi_pred,
         'f0_hz_pred': midi_to_hz(f0_midi_pred),
@@ -315,14 +327,14 @@ class MidiAutoencoder(Model):
         'f0_loss_weights': f0_loss_weights,
         f'{self.db_key}_pred': features['db'],
     }
+    outputs.update(extra_outputs or {})
     outputs = {k: v for k, v in outputs.items() if v is not None}
     outputs.update({k: v for k, v in features.items() if k not in outputs})
     outputs.update(synth_params)
 
     if training and self.reconstruction_losses is not None:
       losses_dict.update(self.reconstruction_losses(outputs))
-
-    return outputs, losses_dict
+    return outputs
 
   def synthcoder_branch(self, features: TensorDict, training: bool,
                         z: Optional[Array] = None):
@@ -441,34 +453,10 @@ class ZMidiAutoencoder(MidiAutoencoder):
                              f0_midi_pred, q_pitch, 'qpitch_f0rec_loss')
         self._zpitch_losses(losses_dict, z_pitch, q_pitch, f0_midi_pred)
 
-    outputs = {
-        'synth_params': synth_params,
-        'synth_audio': synth_audio,
-        'midi_synth_params': midi_synth_params,
-        'midi_audio': midi_audio,
-        'q_pitch': q_pitch,
-        'q_vel': q_vel,
-        'z_pitch': z_pitch,
-        'z_vel': z_vel,
-        'z_global': z_global,
-        'z_notes': z_notes,
-        'pianoroll': self.midi_to_pianoroll(q_pitch, q_vel),
-        'f0_midi_pred': f0_midi_pred,
-        'f0_hz_pred': midi_to_hz(f0_midi_pred),
-        'amps': amps,
-        'hd': hd,
-        'noise': noise,
-        'amps_pred': amps_pred,
-        'hd_pred': hd_pred,
-        'noise_pred': noise_pred,
-        'f0_loss_weights': f0_loss_weights,
-        f'{self.db_key}_pred': features['db'],
-    }
-    outputs = {k: v for k, v in outputs.items() if v is not None}
-    outputs.update({k: v for k, v in features.items() if k not in outputs})
-    outputs.update(synth_params)
-
-    if training and self.reconstruction_losses is not None:
-      losses_dict.update(self.reconstruction_losses(outputs))
-
+    outputs = self._assemble_outputs(
+        features, losses_dict, training, synth_params, synth_audio,
+        midi_synth_params, midi_audio, q_pitch, q_vel, f0_midi_pred,
+        amps, hd, noise, amps_pred, hd_pred, noise_pred, f0_loss_weights,
+        extra_outputs={'z_pitch': z_pitch, 'z_vel': z_vel,
+                       'z_global': z_global, 'z_notes': z_notes})
     return outputs, losses_dict
