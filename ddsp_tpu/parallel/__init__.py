@@ -9,3 +9,4 @@ from ddsp_tpu.parallel.mesh import single_device_mesh  # noqa: F401
 from ddsp_tpu.parallel import time_shard  # noqa: F401
 from ddsp_tpu.parallel.time_shard import time_sharded_fft_convolve  # noqa: F401
 from ddsp_tpu.parallel.time_shard import time_sharded_harmonic_synthesis  # noqa: F401
+from ddsp_tpu.parallel.time_shard import time_sharded_spectral_loss  # noqa: F401,E402

@@ -143,3 +143,50 @@ def test_sharded_fft_convolve_gradients_match():
   for gs, gd in zip(g_single, g_sharded):
     np.testing.assert_allclose(np.asarray(gd), np.asarray(gs),
                                atol=1e-4, rtol=1e-3)
+
+
+class TestTimeShardedSpectralLoss:
+
+  def _mesh(self, n_time):
+    import jax
+    from ddsp_tpu.parallel import create_mesh
+    return create_mesh(n_data=1, n_time=n_time,
+                       devices=jax.devices()[:n_time])
+
+  def test_matches_single_device(self):
+    import jax.numpy as jnp
+    from ddsp_tpu import losses
+    from ddsp_tpu.parallel import time_shard
+    rng = np.random.RandomState(0)
+    target = rng.randn(2, 16384).astype(np.float32) * 0.1
+    audio = target * 0.8 + 0.01 * rng.randn(2, 16384).astype(np.float32)
+
+    sizes = (2048, 512, 64)
+    ref = float(losses.SpectralLoss(fft_sizes=sizes, mag_weight=1.0,
+                                    logmag_weight=1.0)(
+                                        jnp.asarray(target),
+                                        jnp.asarray(audio)))
+    for n_time in (2, 4):
+      mesh = self._mesh(n_time)
+      got = float(time_shard.time_sharded_spectral_loss(
+          mesh, jnp.asarray(target), jnp.asarray(audio), fft_sizes=sizes,
+          mag_weight=1.0, logmag_weight=1.0))
+      np.testing.assert_allclose(got, ref, rtol=2e-5)
+
+  def test_gradients_match(self):
+    import jax
+    import jax.numpy as jnp
+    from ddsp_tpu import losses
+    from ddsp_tpu.parallel import time_shard
+    rng = np.random.RandomState(1)
+    target = jnp.asarray(rng.randn(1, 8192).astype(np.float32) * 0.1)
+    audio = jnp.asarray(rng.randn(1, 8192).astype(np.float32) * 0.1)
+    sizes = (512, 64)
+
+    g_ref = jax.grad(lambda a: losses.SpectralLoss(
+        fft_sizes=sizes, mag_weight=1.0)(target, a))(audio)
+    mesh = self._mesh(4)
+    g_sp = jax.grad(lambda a: time_shard.time_sharded_spectral_loss(
+        mesh, target, a, fft_sizes=sizes, mag_weight=1.0))(audio)
+    np.testing.assert_allclose(np.asarray(g_sp), np.asarray(g_ref),
+                               atol=1e-6)
