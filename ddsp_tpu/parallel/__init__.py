@@ -10,3 +10,5 @@ from ddsp_tpu.parallel import time_shard  # noqa: F401
 from ddsp_tpu.parallel.time_shard import time_sharded_fft_convolve  # noqa: F401
 from ddsp_tpu.parallel.time_shard import time_sharded_harmonic_synthesis  # noqa: F401
 from ddsp_tpu.parallel.time_shard import time_sharded_spectral_loss  # noqa: F401,E402
+from ddsp_tpu.parallel.sp_train import make_sp_train_step  # noqa: F401,E402
+from ddsp_tpu.parallel.sp_train import sp_synth_and_loss  # noqa: F401,E402

@@ -190,3 +190,96 @@ class TestTimeShardedSpectralLoss:
         mesh, target, a, fft_sizes=sizes, mag_weight=1.0))(audio)
     np.testing.assert_allclose(np.asarray(g_sp), np.asarray(g_ref),
                                atol=1e-6)
+
+
+class TestSequenceParallelTraining:
+
+  def test_sp_train_step_runs_and_learns(self):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from ddsp_tpu import nn as dnn
+    from ddsp_tpu.parallel import create_mesh, make_sp_train_step
+
+    n_data, n_time = 2, 4
+    mesh = create_mesh(n_data=n_data, n_time=n_time,
+                       devices=jax.devices()[:n_data * n_time])
+    n_frames, hop = 16, 512
+    n_samples = n_frames * hop  # 8192, sharded 2048/time-shard
+
+    rng = np.random.RandomState(0)
+    sr = 16000
+    t = np.arange(n_samples) / sr
+    target = (0.3 * np.sin(2 * np.pi * 220 * t) +
+              3e-3 * rng.randn(n_samples)).astype(np.float32)
+    batch = {
+        'audio': np.stack([target] * n_data),
+        'f0_hz': np.full((n_data, n_frames, 1), 220.0, np.float32),
+        'ld_scaled': np.full((n_data, n_frames, 1), 0.6, np.float32),
+        'f0_scaled': np.full((n_data, n_frames, 1), 0.55, np.float32),
+    }
+    noise = rng.uniform(-1, 1, (n_data, n_samples)).astype(np.float32)
+
+    decoder = dnn.FcStackDecoder(
+        ch=16, layers_per_stack=1,
+        input_keys=('ld_scaled', 'f0_scaled'),
+        output_splits=(('amps', 1), ('harmonic_distribution', 8),
+                       ('noise_magnitudes', 5)))
+    params = decoder.init(jax.random.PRNGKey(0), batch)['params']
+    optimizer = optax.adam(1e-2)
+    opt_state = optimizer.init(params)
+
+    train_step, shard_batch = make_sp_train_step(
+        mesh, decoder, optimizer, n_samples=n_samples,
+        fft_sizes=(512, 64))
+    sharded, noise_dev = shard_batch(batch, noise)
+
+    losses = []
+    for _ in range(10):
+      params, opt_state, loss = train_step(params, opt_state, sharded,
+                                           noise_dev)
+      losses.append(float(loss))
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+
+  def test_sp_loss_matches_unsharded_pipeline(self):
+    import jax
+    import jax.numpy as jnp
+    from ddsp_tpu import losses as losses_lib, ops
+    from ddsp_tpu.parallel import create_mesh, sp_synth_and_loss
+
+    mesh = create_mesh(n_data=1, n_time=4, devices=jax.devices()[:4])
+    rng = np.random.RandomState(3)
+    n_frames, n_samples = 8, 4096
+    f0 = np.full((1, n_frames, 1), 330.0, np.float32)
+    amps_raw = rng.randn(1, n_frames, 1).astype(np.float32)
+    hd_raw = rng.randn(1, n_frames, 6).astype(np.float32)
+    noise_raw = rng.randn(1, n_frames, 5).astype(np.float32)
+    noise_sig = rng.uniform(-1, 1, (1, n_samples)).astype(np.float32)
+    target = (0.1 * rng.randn(1, n_samples)).astype(np.float32)
+    sizes = (512, 64)
+
+    sp = float(sp_synth_and_loss(
+        mesh, jnp.asarray(target), jnp.asarray(f0), jnp.asarray(amps_raw),
+        jnp.asarray(hd_raw), jnp.asarray(noise_raw),
+        jnp.asarray(noise_sig), n_samples=n_samples, fft_sizes=sizes))
+
+    # Unsharded reference with identical math.
+    amps = ops.exp_sigmoid(jnp.asarray(amps_raw))
+    hd = ops.exp_sigmoid(jnp.asarray(hd_raw))
+    harm = ops.harmonic_synthesis(jnp.asarray(f0), amps,
+                                  harmonic_distribution=hd,
+                                  n_samples=n_samples)
+    mags = ops.exp_sigmoid(jnp.asarray(noise_raw) - 5.0)
+    ir = ops.frequency_impulse_response(mags, window_size=0)
+    noise = ops.fft_convolve(jnp.asarray(noise_sig), ir, padding='same')
+    audio = harm + noise
+    ref = float(losses_lib.SpectralLoss(fft_sizes=sizes, mag_weight=1.0,
+                                        logmag_weight=1.0)(
+                                            jnp.asarray(target), audio))
+    # The logmag term amplifies float differences between the sharded
+    # (wrapped per-shard phase carries) and unsharded (plain cumsum) paths
+    # on near-silent bins; 2% agreement of the scalar is the right bar
+    # (the audio itself matches to 1e-4 - see the fft_convolve and
+    # harmonic-synthesis shard-equality tests above).
+    np.testing.assert_allclose(sp, ref, rtol=2e-2)
