@@ -33,7 +33,22 @@ import numpy as np
 Array = jax.Array
 
 _LANES = 128
-_BLOCK_HOPS = 8
+
+
+
+def _pick_block_hops(n_hops: int) -> int:
+  """Largest power-of-two block (8..64) with <= 15% hop padding waste.
+
+  Bigger blocks amortize per-instruction VPU overhead (measured ~20% faster
+  at 64 vs 8 on v5e for the canonical 250-hop workload); small frame counts
+  fall back to small blocks to bound the zero-padding waste.
+  """
+  best = 8
+  for b in (8, 16, 32, 64):
+    padded = -(-n_hops // b) * b
+    if padded <= 1.15 * n_hops or b == 8:
+      best = b
+  return best
 
 
 def harmonic_kernel_supported(n_samples: int, n_frames: int,
@@ -177,54 +192,54 @@ def _bwd_kernel(phase_ref, f0_ref, ham_ref, rf_ref, g_ref,
 
 
 def _pallas_fwd(phase_r, f0_r, ham_pad, rf, *, n_hops, hop, nyquist,
-                n_harmonics, interpret):
+                n_harmonics, block_hops, interpret):
   """phase_r/f0_r: [B, n_hops, hop]; ham_pad: [B, n_hops + 1, LANES]."""
   from jax.experimental import pallas as pl
 
   batch = phase_r.shape[0]
   n_frames_ext = ham_pad.shape[1]
-  grid = (batch, n_hops // _BLOCK_HOPS)
+  grid = (batch, n_hops // block_hops)
   blk3 = lambda b, i: (b, i, 0)
 
   return pl.pallas_call(
       functools.partial(_fwd_kernel, nyquist=nyquist,
-                        block_hops=_BLOCK_HOPS, n_harmonics=n_harmonics),
+                        block_hops=block_hops, n_harmonics=n_harmonics),
       grid=grid,
       in_specs=[
-          pl.BlockSpec((1, _BLOCK_HOPS, hop), blk3),
-          pl.BlockSpec((1, _BLOCK_HOPS, hop), blk3),
+          pl.BlockSpec((1, block_hops, hop), blk3),
+          pl.BlockSpec((1, block_hops, hop), blk3),
           pl.BlockSpec((1, n_frames_ext, _LANES), lambda b, i: (b, 0, 0)),
           pl.BlockSpec((2, hop), lambda b, i: (0, 0)),
       ],
-      out_specs=pl.BlockSpec((1, _BLOCK_HOPS, hop), blk3),
+      out_specs=pl.BlockSpec((1, block_hops, hop), blk3),
       out_shape=jax.ShapeDtypeStruct((batch, n_hops, hop), jnp.float32),
       interpret=interpret,
   )(phase_r, f0_r, ham_pad, rf)
 
 
 def _pallas_bwd(phase_r, f0_r, ham_pad, rf, g_r, *, n_hops, hop, nyquist,
-                n_harmonics, interpret):
+                n_harmonics, block_hops, interpret):
   from jax.experimental import pallas as pl
 
   batch = phase_r.shape[0]
   n_frames_ext = ham_pad.shape[1]
-  grid = (batch, n_hops // _BLOCK_HOPS)
+  grid = (batch, n_hops // block_hops)
   blk3 = lambda b, i: (b, i, 0)
 
   return pl.pallas_call(
       functools.partial(_bwd_kernel, nyquist=nyquist,
-                        block_hops=_BLOCK_HOPS, n_harmonics=n_harmonics),
+                        block_hops=block_hops, n_harmonics=n_harmonics),
       grid=grid,
       in_specs=[
-          pl.BlockSpec((1, _BLOCK_HOPS, hop), blk3),
-          pl.BlockSpec((1, _BLOCK_HOPS, hop), blk3),
+          pl.BlockSpec((1, block_hops, hop), blk3),
+          pl.BlockSpec((1, block_hops, hop), blk3),
           pl.BlockSpec((1, n_frames_ext, _LANES), lambda b, i: (b, 0, 0)),
           pl.BlockSpec((2, hop), lambda b, i: (0, 0)),
-          pl.BlockSpec((1, _BLOCK_HOPS, hop), blk3),
+          pl.BlockSpec((1, block_hops, hop), blk3),
       ],
       out_specs=(
-          pl.BlockSpec((1, _BLOCK_HOPS, hop), blk3),
-          pl.BlockSpec((1, 2, _BLOCK_HOPS, _LANES),
+          pl.BlockSpec((1, block_hops, hop), blk3),
+          pl.BlockSpec((1, 2, block_hops, _LANES),
                        lambda b, i: (b, 0, i, 0)),
       ),
       out_shape=(
@@ -243,12 +258,13 @@ def _fused(phase0: Array, f0_env: Array, ham: Array,
 
 
 def _prep(phase0, f0_env, ham, method):
-  """Reshape to hop-blocked layout; pad hops to a _BLOCK_HOPS multiple."""
+  """Reshape to hop-blocked layout; pad hops to a block multiple."""
   batch, n_samples = phase0.shape
   n_frames = ham.shape[1]
   hop = n_samples // n_frames
   n_hops = n_frames
-  n_hops_pad = -(-n_hops // _BLOCK_HOPS) * _BLOCK_HOPS
+  block_hops = _pick_block_hops(n_hops)
+  n_hops_pad = -(-n_hops // block_hops) * block_hops
   pad_h = n_hops_pad - n_hops
 
   # Wrap the fundamental phase: with integer harmonic ratios,
@@ -273,15 +289,16 @@ def _prep(phase0, f0_env, ham, method):
 
   rise, fall = _weights(hop, method)
   rf = jnp.asarray(np.stack([rise, fall]))
-  return phase_r, f0_r, ham_pad, rf, n_hops, n_hops_pad, hop
+  return phase_r, f0_r, ham_pad, rf, n_hops, n_hops_pad, hop, block_hops
 
 
 def _fused_fwd(phase0, f0_env, ham, sample_rate, method, interpret):
-  (phase_r, f0_r, ham_pad, rf, n_hops, n_hops_pad,
-   hop) = _prep(phase0, f0_env, ham, method)
+  (phase_r, f0_r, ham_pad, rf, n_hops, n_hops_pad, hop,
+   block_hops) = _prep(phase0, f0_env, ham, method)
   audio = _pallas_fwd(phase_r, f0_r, ham_pad, rf, n_hops=n_hops_pad,
                       hop=hop, nyquist=sample_rate / 2.0,
-                      n_harmonics=ham.shape[-1], interpret=interpret)
+                      n_harmonics=ham.shape[-1], block_hops=block_hops,
+                      interpret=interpret)
   batch, n_samples = phase0.shape
   audio = audio[:, :n_hops, :].reshape(batch, n_samples)
   return audio, (phase0, f0_env, ham)
@@ -289,8 +306,8 @@ def _fused_fwd(phase0, f0_env, ham, sample_rate, method, interpret):
 
 def _fused_bwd(sample_rate, method, interpret, residuals, g):
   phase0, f0_env, ham = residuals
-  (phase_r, f0_r, ham_pad, rf, n_hops, n_hops_pad,
-   hop) = _prep(phase0, f0_env, ham, method)
+  (phase_r, f0_r, ham_pad, rf, n_hops, n_hops_pad, hop,
+   block_hops) = _prep(phase0, f0_env, ham, method)
   batch, n_samples = phase0.shape
   g_r = g.reshape(batch, n_hops, hop)
   if n_hops_pad != n_hops:
@@ -299,7 +316,7 @@ def _fused_bwd(sample_rate, method, interpret, residuals, g):
   dphase_r, dham_parts = _pallas_bwd(
       phase_r, f0_r, ham_pad, rf, g_r, n_hops=n_hops_pad, hop=hop,
       nyquist=sample_rate / 2.0, n_harmonics=ham.shape[-1],
-      interpret=interpret)
+      block_hops=block_hops, interpret=interpret)
 
   dphase = dphase_r[:, :n_hops, :].reshape(batch, n_samples)
   # Fold per-hop tap contributions back to frames: frame t gets the 'fall'
