@@ -151,12 +151,18 @@ def prepare_records(input_audio_paths: Iterable[str],
   """
   from ddsp_tpu.data import tfrecord  # pylint: disable=g-import-not-at-top
 
+  from scipy import signal as sps  # pylint: disable=g-import-not-at-top
+
   examples = []
   for path in input_audio_paths:
     logging.info('Loading %s', path)
     audio = load_audio(path, sample_rate)
-    audio_16k = (audio if sample_rate == CREPE_SAMPLE_RATE
-                 else load_audio(path, CREPE_SAMPLE_RATE))
+    if sample_rate == CREPE_SAMPLE_RATE:
+      audio_16k = audio
+    else:
+      # Resample the already-loaded array (one disk read per file).
+      n_out = int(round(len(audio) * CREPE_SAMPLE_RATE / sample_rate))
+      audio_16k = sps.resample(audio, n_out).astype(np.float32)
 
     chunks = _chunk(audio, int(chunk_secs * sample_rate))
     chunks_16k = _chunk(audio_16k, int(chunk_secs * CREPE_SAMPLE_RATE))
@@ -196,10 +202,11 @@ def prepare_records(input_audio_paths: Iterable[str],
 
   written = []
   for split_name, split_examples in splits.items():
-    # Window into training examples.
+    # Window into training examples (only when frame features exist:
+    # split_example zips audio with the frame-rate features).
     windowed = []
     for ex in split_examples:
-      if example_secs:
+      if example_secs and frame_rate:
         windowed.extend(split_example(ex, sample_rate, frame_rate,
                                       example_secs, hop_secs, center))
       else:

@@ -206,6 +206,9 @@ class Rnn(nn.Module):
   return_sequences: bool = True
   bidir: bool = False
   unroll: int = 16
+  # FastGRU changes the param-tree layout (wi/wh/bi/bn instead of nested
+  # GRUCell denses); set False to restore checkpoints trained before it.
+  use_fast_gru: bool = True
 
   @nn.compact
   def __call__(self, x: Array) -> Array:
@@ -214,7 +217,7 @@ class Rnn(nn.Module):
       bwd = nn.RNN(_rnn_cell(self.rnn_type, self.dims), reverse=True,
                    keep_order=True, unroll=self.unroll)
       y = jnp.concatenate([fwd(x), bwd(x)], axis=-1)
-    elif self.rnn_type == 'gru':
+    elif self.rnn_type == 'gru' and self.use_fast_gru:
       y = FastGRU(self.dims, unroll=self.unroll)(x)
     else:
       y = nn.RNN(_rnn_cell(self.rnn_type, self.dims),
@@ -230,6 +233,7 @@ class StatelessRnn(nn.Module):
   dims: int = 512
   rnn_type: str = 'gru'
   unroll: int = 16
+  use_fast_gru: bool = True
 
   @nn.compact
   def __call__(self, x: Array, state: Array) -> Tuple[Array, Array]:
@@ -242,7 +246,7 @@ class StatelessRnn(nn.Module):
     Returns:
       (y, new_state): y [batch, time, dims], new_state [batch, dims].
     """
-    if self.rnn_type == 'gru':
+    if self.rnn_type == 'gru' and self.use_fast_gru:
       return FastGRU(self.dims, unroll=self.unroll)(
           x, initial_state=state, return_state=True)
     # LSTM carry is (c, h); split a packed [batch, 2*dims] state.

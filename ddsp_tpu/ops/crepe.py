@@ -109,7 +109,15 @@ def load_weights_from_h5(path: str,
     params['classifier'] = {
         'kernel': jnp.asarray(arr('classifier', 'kernel:0')),
         'bias': jnp.asarray(arr('classifier', 'bias:0'))}
-  del model_capacity
+
+  # Validate the file matches the requested capacity up front (a mismatch
+  # would otherwise surface as an opaque flax shape error at apply time).
+  expected = _FILTERS[0] * _CAPACITIES[model_capacity]
+  got = params['conv1']['kernel'].shape[-1]
+  if got != expected:
+    raise ValueError(
+        f'Weights file {path!r} has {got} conv1 filters but capacity '
+        f'{model_capacity!r} expects {expected}.')
   return {'params': params, 'batch_stats': batch_stats}
 
 

@@ -105,7 +105,6 @@ def make_sp_train_step(mesh: Mesh,
   """
   audio_sharding = NamedSharding(mesh, P('data', 'time'))
   frame_sharding = NamedSharding(mesh, P('data'))
-  repl = NamedSharding(mesh, P())
 
   def loss_fn(params, batch, noise):
     controls = decoder.apply({'params': params}, batch, training=True)

@@ -148,13 +148,15 @@ def train(data_iterator: Iterator[Dict[str, Any]],
       if writer:
         writer.scalars(step, dict(mean_losses,
                                   steps_per_sec=steps_per_sec))
-      last_total = float(host[-1].get('total_loss', np.inf))
+      mean_total = float(mean_losses.get('total_loss', np.inf))
       pending_losses = []
       last_summary_time = time.time()
       last_summary_step = step
 
+      # Reference semantics (train_util.py:313-318): stop on the interval
+      # MEAN of the total loss, not a single noisy step.
       if (early_stop_loss_value is not None
-          and last_total <= early_stop_loss_value):
+          and mean_total <= early_stop_loss_value):
         logger.info('Total loss reached early stop value %s at step %d.',
                     early_stop_loss_value, step)
         break
