@@ -13,3 +13,4 @@ from ddsp_tpu.data.multi import UrmpMidi  # noqa: F401,E402
 from ddsp_tpu.data.multi import UrmpMidiUnsegmented  # noqa: F401,E402
 from ddsp_tpu.data.multi import ZippedProvider  # noqa: F401,E402
 from ddsp_tpu.data.prepare import prepare_records  # noqa: F401,E402
+from ddsp_tpu.data.prefetch import prefetch_to_device  # noqa: F401,E402

@@ -1,0 +1,66 @@
+"""Device prefetching for the training input pipeline.
+
+The reference relies on tf.data's prefetch (data.py:58-80) to overlap host
+batch preparation and host->device transfer with the train step. Here a
+small background thread performs sharded device_put ahead of consumption,
+so the accelerator never waits on the host between steps (important when
+the host link is slow, e.g. remote-attached TPUs).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+
+
+def prefetch_to_device(iterator: Iterator[Dict[str, Any]],
+                       size: int = 2,
+                       sharding=None,
+                       mesh=None) -> Iterator[Dict[str, Any]]:
+  """Wrap a host batch iterator with background device placement.
+
+  Args:
+    iterator: Yields host (numpy) feature dicts.
+    size: Prefetch depth (2 = double buffering).
+    sharding: Optional jax.sharding.Sharding for the batches (e.g.
+      NamedSharding(mesh, P('data'))). None = default device placement.
+    mesh: Convenience alternative to `sharding`: builds a batch-axis
+      NamedSharding over the mesh's 'data' axis.
+
+  Yields:
+    Batches already resident on device (sharded committed arrays).
+  """
+  if sharding is None and mesh is not None:
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sharding = NamedSharding(mesh, P('data'))
+
+  q: 'queue.Queue' = queue.Queue(maxsize=size)
+  sentinel = object()
+  error: list = []
+
+  def producer():
+    try:
+      for batch in iterator:
+        if sharding is not None:
+          batch = jax.device_put(batch, sharding)
+        else:
+          batch = jax.device_put(batch)
+        q.put(batch)
+    except Exception as e:  # pylint: disable=broad-except
+      error.append(e)
+    finally:
+      q.put(sentinel)
+
+  thread = threading.Thread(target=producer, daemon=True)
+  thread.start()
+
+  while True:
+    item = q.get()
+    if item is sentinel:
+      if error:
+        raise error[0]
+      return
+    yield item

@@ -69,7 +69,8 @@ def train(data_iterator: Iterator[Dict[str, Any]],
           profile_dir: Optional[str] = None,
           profile_start: int = 10,
           profile_steps: int = 10,
-          log_every_step: bool = False) -> TrainState:
+          log_every_step: bool = False,
+          prefetch: int = 2) -> TrainState:
   """Main training loop.
 
   Args:
@@ -91,10 +92,18 @@ def train(data_iterator: Iterator[Dict[str, Any]],
     profile_steps: Number of steps to trace.
     log_every_step: Log losses every step (forces per-step host sync; debug
       only - the reference's behavior).
+    prefetch: Background host->device prefetch depth (0 disables); plays
+      tf.data prefetch's role so the accelerator never waits on the host.
 
   Returns:
     The final TrainState.
   """
+  if prefetch:
+    from ddsp_tpu.data.prefetch import prefetch_to_device  # pylint: disable=g-import-not-at-top
+    from ddsp_tpu.parallel.mesh import batch_sharding  # pylint: disable=g-import-not-at-top
+    data_iterator = prefetch_to_device(
+        data_iterator, size=prefetch,
+        sharding=batch_sharding(trainer.mesh))
   batch = next(data_iterator)
   state = trainer.init(batch)
   logger.info('Trainer initialized: %d params.', trainer.param_count(state))

@@ -247,3 +247,34 @@ class TestPrepareRecords:
     names = [os.path.basename(p) for p in written]
     assert any('train' in n for n in names)
     assert any('eval' in n for n in names)
+
+
+class TestPrefetch:
+
+  def test_prefetch_yields_device_batches(self):
+    import jax
+    from ddsp_tpu.data.prefetch import prefetch_to_device
+    from ddsp_tpu.parallel import create_mesh
+    from ddsp_tpu.parallel.mesh import batch_sharding
+
+    provider = data_lib.SyntheticSinusoidProvider(
+        n_samples=2000, frame_rate=50, n_examples=8)
+    mesh = create_mesh(n_data=1, devices=jax.devices()[:1])
+    it = prefetch_to_device(provider.get_batch(2, shuffle=False, repeats=1),
+                            size=2, sharding=batch_sharding(mesh))
+    batches = list(it)
+    assert len(batches) == 4
+    assert all(isinstance(b['audio'], jax.Array) for b in batches)
+
+  def test_prefetch_propagates_errors(self):
+    from ddsp_tpu.data.prefetch import prefetch_to_device
+
+    def bad_iterator():
+      yield {'x': np.zeros(3, np.float32)}
+      raise RuntimeError('boom')
+
+    it = prefetch_to_device(bad_iterator(), size=2)
+    next(it)
+    with pytest.raises(RuntimeError, match='boom'):
+      for _ in it:
+        pass
