@@ -37,7 +37,9 @@ def _interp_nearest(x: Array, n_out: int, align_corners: bool) -> Array:
   n_in = x.shape[1]
   src = _source_coords(n_in, n_out, align_corners)
   if align_corners:
-    idx = np.round(src)
+    # Legacy tf.image.resize rounds halves away from zero (roundf), not
+    # banker's rounding; np.floor(x + 0.5) matches for non-negative coords.
+    idx = np.floor(src + 0.5)
   else:
     idx = np.floor(src)
   idx = np.minimum(idx, n_in - 1).astype(np.int32)

@@ -133,10 +133,8 @@ def stft(audio: Array,
   fft_size = int(2**np.ceil(np.log2(frame_size)))
 
   frames = fftconv.frame(audio, frame_size, hop_size, pad_end=pad_end)
-  t = np.arange(frame_size, dtype=np.float32)
-  window = (0.5 - 0.5 * np.cos(2.0 * np.pi * t / frame_size)).astype(
-      np.float32)
-  frames = frames * jnp.asarray(window)
+  # tf.signal.hann_window semantics for odd sizes too (denominator N-1).
+  frames = frames * fftconv.hann_window(frame_size)
   return jnp.fft.rfft(frames, fft_size)
 
 
@@ -249,7 +247,7 @@ def compute_mfcc(audio: Array,
                  sample_rate: int = 16000) -> Array:
   """Mel-frequency cepstral coefficients.
 
-  Matches tf.signal.mfccs_from_log_mel_spectrograms (orthonormal DCT-II),
+  Matches tf.signal.mfccs_from_log_mel_spectrograms (TF-scaled (1/sqrt(2N), non-orthonormal) DCT-II),
   truncated to mfcc_bins.
   """
   logmel = compute_logmel(
@@ -445,7 +443,6 @@ def compute_f0(audio, frame_rate: int, viterbi: bool = True,
 
   was_1d = _np.ndim(audio) == 1
   audio = jnp.atleast_2d(jnp_float32(audio))
-  crepe_model = _get_crepe(model_capacity)
   crepe_model.hop_size = hop_size
   f0_hz, f0_confidence = crepe_model.predict_f0_and_confidence(
       audio, viterbi=viterbi, padding=padding)
@@ -481,8 +478,9 @@ def stft_np(audio, frame_size: int = 2048, overlap: float = 0.75,
          _np.arange(frame_size)[None, :])
   frames = audio[:, idx]
 
+  denom = frame_size if frame_size % 2 == 0 else frame_size - 1
   window = 0.5 - 0.5 * _np.cos(
-      2.0 * _np.pi * _np.arange(frame_size) / frame_size)
+      2.0 * _np.pi * _np.arange(frame_size) / max(denom, 1))
   fft_size = int(2**_np.ceil(_np.log2(frame_size)))
   s = _np.fft.rfft(frames * window, fft_size)
   return s[0] if is_1d else s
