@@ -67,10 +67,15 @@ class ZippedProvider(BaseMultiProvider):
                               drop_remainder=drop_remainder)
                  for bs, dp in zip(batch_sizes, self._data_providers)]
     while True:
-      try:
-        yield tuple(next(it) for it in iterators)
-      except StopIteration:
-        return
+      # Explicit loop: a StopIteration raised inside a generator
+      # expression would become RuntimeError (PEP 479).
+      items = []
+      for it in iterators:
+        try:
+          items.append(next(it))
+        except StopIteration:
+          return
+      yield tuple(items)
 
 
 class MixedProvider(BaseMultiProvider):

@@ -70,7 +70,11 @@ def read_records(path: str, verify_crc: bool = False) -> Iterator[bytes]:
       if verify_crc and _masked_crc(header[:8]) != length_crc:
         raise IOError(f'Corrupt TFRecord length CRC in {path}')
       data = f.read(length)
-      data_crc = struct.unpack('<I', f.read(4))[0]
+      tail = f.read(4)
+      if len(data) < length or len(tail) < 4:
+        raise IOError(f'Truncated TFRecord in {path} (record of {length} '
+                      f'bytes cut short)')
+      data_crc = struct.unpack('<I', tail)[0]
       if verify_crc and _masked_crc(data) != data_crc:
         raise IOError(f'Corrupt TFRecord data CRC in {path}')
       yield data
@@ -108,6 +112,10 @@ def _read_varint(buf: bytes, pos: int):
 
 
 def _write_varint(value: int) -> bytes:
+  """Encode an unsigned (or two's-complement int64) protobuf varint."""
+  if value < 0:
+    # Protobuf encodes negative int64 as 10-byte two's complement.
+    value &= 0xFFFFFFFFFFFFFFFF
   out = bytearray()
   while True:
     bits = value & 0x7F
@@ -157,18 +165,23 @@ def _parse_float_list(buf: bytes) -> np.ndarray:
   return np.concatenate([np.atleast_1d(v) for v in values])
 
 
+def _decode_int64(value: int) -> int:
+  """Two's-complement decode of a varint-read unsigned value."""
+  return value - (1 << 64) if value >= (1 << 63) else value
+
+
 def _parse_int64_list(buf: bytes) -> np.ndarray:
   values = []
   pos = 0
   for field, wire, value in _iter_fields(buf):
     if field == 1:
       if wire == 0:
-        values.append(value)
+        values.append(_decode_int64(value))
       elif wire == 2:  # packed varints
         p = 0
         while p < len(value):
           v, p = _read_varint(value, p)
-          values.append(v)
+          values.append(_decode_int64(v))
   return np.asarray(values, np.int64)
 
 

@@ -93,14 +93,20 @@ def evaluate_or_sample(data_provider,
 
   # Build state once from one batch (defines shapes for restore).
   iterator = data_provider.get_batch(batch_size, shuffle=False, repeats=-1)
-  first_batch = next(iterator)
+  # A FIXED evaluation set: the same batches for every checkpoint, so the
+  # metric curve reflects the model, not data drift.
+  eval_batches = [next(iterator) for _ in range(num_batches)]
+  first_batch = eval_batches[0]
   state = trainer.init(first_batch)
   writer = MetricsWriter(os.path.join(save_dir, mode))
 
   model = trainer.model
+  # training=False (eval-mode network behavior); losses are still computed
+  # because return_losses=True - a deliberate improvement over the
+  # reference, whose eval losses are empty (autoencoder.py:67).
   apply_fn = jax.jit(
       lambda params, batch: model.apply(
-          {'params': params}, batch, training=True, return_losses=True,
+          {'params': params}, batch, training=False, return_losses=True,
           rngs={'noise': jax.random.PRNGKey(0)}))
 
   for ckpt_step in checkpoints_iterator(restore_dir, ckpt_delay_secs,
@@ -109,8 +115,7 @@ def evaluate_or_sample(data_provider,
     step = int(jax.device_get(state.step))
     logger.info('Evaluating checkpoint at step %d.', step)
 
-    batch = first_batch
-    for batch_idx in range(num_batches):
+    for batch_idx, batch in enumerate(eval_batches):
       t0 = time.time()
       outputs, losses = apply_fn(state.params, batch)
       outputs = jax.device_get(outputs)
@@ -123,7 +128,6 @@ def evaluate_or_sample(data_provider,
           evaluator.evaluate(batch, outputs, losses)
         else:
           evaluator.sample(batch, outputs, save_dir, step)
-      batch = next(iterator)
 
     if mode == 'eval':
       scalars = {}

@@ -55,6 +55,7 @@ class Autoencoder(Model):
     return self.processor_group(features)
 
   def forward_with_losses(self, features: TensorDict, training: bool = True,
+                          compute_losses: bool = True,
                           **kwargs) -> Tuple[TensorDict, TensorDict]:
     """Run the core of the network, get predictions and loss."""
     features = self.encode(features, training=training)
@@ -68,7 +69,7 @@ class Autoencoder(Model):
     outputs['audio_synth'] = pg_out['signal']
 
     losses_dict = {}
-    if training:
+    if compute_losses:
       for loss_obj in self.losses:
         # Derive a stable name from the class (linen renames tuple-field
         # submodules positionally to 'losses_<i>'), uniquified on collision.

@@ -116,6 +116,7 @@ class InverseSynthesis(Model):
             outputs['harm_audio'])
 
   def forward_with_losses(self, features, training: bool = True,
+                          compute_losses: bool = True,
                           **kwargs) -> Tuple[TensorDict, TensorDict]:
     losses_dict = {}
     if isinstance(features, (list, tuple)):
@@ -134,7 +135,7 @@ class InverseSynthesis(Model):
                  if not isinstance(v, dict)}
       ss_outputs = {k: v[batch_size:] for k, v in all_outputs.items()
                     if not isinstance(v, dict)}
-      if training:
+      if compute_losses:
         self.append_losses(losses_dict, outputs)
         self.append_losses(losses_dict, ss_outputs, ss_features)
     elif features.get('sin_amps') is not None:
@@ -142,12 +143,12 @@ class InverseSynthesis(Model):
       ss_features = dict(features)
       ss_features['audio'] = self.generate_synthetic_audio(ss_features)
       outputs = self.forward(ss_features, training)
-      if training:
+      if compute_losses:
         self.append_losses(losses_dict, outputs)
         self.append_losses(losses_dict, outputs, ss_features)
     else:
       outputs = self.forward(features, training)
-      if training:
+      if compute_losses:
         self.append_losses(losses_dict, outputs)
     return outputs, losses_dict
 

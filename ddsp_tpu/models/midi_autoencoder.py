@@ -258,6 +258,7 @@ class MidiAutoencoder(Model):
 
   # ----- Forward ------------------------------------------------------------
   def forward_with_losses(self, features: TensorDict, training: bool = True,
+                          compute_losses: bool = True,
                           **kwargs) -> Tuple[TensorDict, TensorDict]:
     losses_dict = {}
     features = self.preprocess(features)
@@ -290,19 +291,19 @@ class MidiAutoencoder(Model):
           midi_synth_params)
       midi_audio = self._pg().get_signal(midi_synth_params)
 
-      if training:
+      if compute_losses:
         self._zpitch_losses(losses_dict, z_pitch, q_pitch, f0_midi_pred)
         self._closeness_loss(losses_dict, self.qpitch_f0rec_loss,
                              f0_midi_pred, q_pitch, 'qpitch_f0rec_loss')
 
     outputs = self._assemble_outputs(
-        features, losses_dict, training, synth_params, synth_audio,
+        features, losses_dict, compute_losses, synth_params, synth_audio,
         midi_synth_params, midi_audio, q_pitch, q_vel, f0_midi_pred,
         amps, hd, noise, amps_pred, hd_pred, noise_pred, f0_loss_weights,
         extra_outputs={'z_pitch': z_pitch})
     return outputs, losses_dict
 
-  def _assemble_outputs(self, features, losses_dict, training,
+  def _assemble_outputs(self, features, losses_dict, compute_losses,
                         synth_params, synth_audio, midi_synth_params,
                         midi_audio, q_pitch, q_vel, f0_midi_pred,
                         amps, hd, noise, amps_pred, hd_pred, noise_pred,
@@ -332,7 +333,7 @@ class MidiAutoencoder(Model):
     outputs.update({k: v for k, v in features.items() if k not in outputs})
     outputs.update(synth_params)
 
-    if training and self.reconstruction_losses is not None:
+    if compute_losses and self.reconstruction_losses is not None:
       losses_dict.update(self.reconstruction_losses(outputs))
     return outputs
 
@@ -389,6 +390,7 @@ class ZMidiAutoencoder(MidiAutoencoder):
     return z_notes
 
   def forward_with_losses(self, features: TensorDict, training: bool = True,
+                          compute_losses: bool = True,
                           **kwargs) -> Tuple[TensorDict, TensorDict]:
     losses_dict = {}
     features = self.preprocess(features)
@@ -448,13 +450,13 @@ class ZMidiAutoencoder(MidiAutoencoder):
           midi_synth_params)
       midi_audio = self._pg().get_signal(midi_synth_params)
 
-      if training:
+      if compute_losses:
         self._closeness_loss(losses_dict, self.qpitch_f0rec_loss,
                              f0_midi_pred, q_pitch, 'qpitch_f0rec_loss')
         self._zpitch_losses(losses_dict, z_pitch, q_pitch, f0_midi_pred)
 
     outputs = self._assemble_outputs(
-        features, losses_dict, training, synth_params, synth_audio,
+        features, losses_dict, compute_losses, synth_params, synth_audio,
         midi_synth_params, midi_audio, q_pitch, q_vel, f0_midi_pred,
         amps, hd, noise, amps_pred, hd_pred, noise_pred, f0_loss_weights,
         extra_outputs={'z_pitch': z_pitch, 'z_vel': z_vel,

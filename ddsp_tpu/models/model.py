@@ -38,9 +38,9 @@ class Model(nn.Module):
     Returns:
       outputs, or (outputs, losses_dict) if return_losses.
     """
-    outputs, losses_dict = self.forward_with_losses(features,
-                                                    training=training,
-                                                    **kwargs)
+    outputs, losses_dict = self.forward_with_losses(
+        features, training=training, compute_losses=return_losses,
+        **kwargs)
     if return_losses:
       losses_dict = dict(losses_dict)
       losses_dict['total_loss'] = jnp.sum(
@@ -49,8 +49,15 @@ class Model(nn.Module):
     return outputs
 
   def forward_with_losses(self, features: TensorDict, training: bool = True,
+                          compute_losses: bool = True,
                           **kwargs) -> Tuple[TensorDict, TensorDict]:
-    """Subclasses return (outputs, losses_dict)."""
+    """Subclasses return (outputs, losses_dict).
+
+    Unlike the reference (which only fills its hidden losses dict when
+    training=True, leaving eval losses empty - autoencoder.py:67), losses
+    are computed whenever requested, so eval reports true losses while
+    `training` controls only network behavior (dropout/stats updates).
+    """
     raise NotImplementedError
 
   def get_audio_from_outputs(self, outputs: TensorDict) -> Array:

@@ -191,11 +191,8 @@ class SinusoidalToHarmonicEncoder(nn_layers.DictModule):
                                          hz_max=self.hz_max)
 
     # Filter harmonic distribution above nyquist and renormalize.
-    harm_freqs = oscillator.get_harmonic_frequencies(f0_hz, self.n_harmonics)
-    harm_dist = oscillator.remove_above_nyquist(harm_freqs, harm_dist,
-                                                self.sample_rate)
-    harm_dist = ops_core.safe_divide(
-        harm_dist, jnp.sum(harm_dist, axis=-1, keepdims=True))
+    harm_dist = oscillator.normalize_harmonics(harm_dist, f0_hz,
+                                               self.sample_rate)
     return harm_amp, harm_dist, f0_hz
 
 
