@@ -102,11 +102,8 @@ class SyntheticSinusoidProvider(DataProvider):
     self.n_samples = n_samples
     self.n_examples = n_examples
     self.f0_range = f0_range
-    # 'center'-padded framing like the reference TFRecord features.
-    self.n_frames, _ = get_framed_lengths(
-        n_samples, sample_rate // frame_rate * 4, sample_rate // frame_rate,
-        'center')
-    # Match reference frame count convention: n_t / hop + 1.
+    # 'center'-padded framing like the reference TFRecord features
+    # (n_frames = n_samples / hop + 1).
     self.n_frames = n_samples // (sample_rate // frame_rate) + 1
     self._seed = seed
 
@@ -176,16 +173,37 @@ class TFRecordProvider(DataProvider):
                      else self.n_samples // hop)
     self._rng = np.random.RandomState(seed)
 
-  def get_dataset(self, shuffle: bool = True):
+  def get_dataset(self, shuffle: bool = True, shuffle_buffer: int = 1024):
     from ddsp_tpu.data import tfrecord  # pylint: disable=g-import-not-at-top
     files = list(self._files)
     if shuffle:
       self._rng.shuffle(files)
+
+    def parse(example):
+      return {
+          'audio': example['audio'].astype(np.float32),
+          'f0_hz': example['f0_hz'].astype(np.float32),
+          'f0_confidence': example['f0_confidence'].astype(np.float32),
+          'loudness_db': example['loudness_db'].astype(np.float32),
+      }
+
+    if not shuffle:
+      for path in files:
+        for example in tfrecord.read_examples(path):
+          yield parse(example)
+      return
+
+    # Example-level shuffling via a reservoir buffer (tf.data
+    # dataset.shuffle(buffer) semantics): file order alone would repeat
+    # identical batches every epoch for single-file datasets.
+    buffer = []
     for path in files:
       for example in tfrecord.read_examples(path):
-        yield {
-            'audio': example['audio'].astype(np.float32),
-            'f0_hz': example['f0_hz'].astype(np.float32),
-            'f0_confidence': example['f0_confidence'].astype(np.float32),
-            'loudness_db': example['loudness_db'].astype(np.float32),
-        }
+        buffer.append(example)
+        if len(buffer) >= shuffle_buffer:
+          idx = self._rng.randint(len(buffer))
+          buffer[idx], buffer[-1] = buffer[-1], buffer[idx]
+          yield parse(buffer.pop())
+    self._rng.shuffle(buffer)
+    for example in buffer:
+      yield parse(example)

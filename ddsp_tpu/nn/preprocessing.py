@@ -78,11 +78,23 @@ class F0LoudnessPreprocessor(DictModule):
       return self.input_keys
     return self.input_keys[:2]
 
-  def forward(self, loudness_db: Array, f0_hz: Array,
+  def _optional_input_keys(self):
+    # When loudness is recomputed from audio, a dataset loudness label is
+    # unnecessary (and immediately discarded).
+    return ('loudness_db',) if self.compute_loudness_fresh else ()
+
+  def forward(self, loudness_db: Optional[Array], f0_hz: Array,
               audio: Optional[Array] = None, **unused_kwargs):
     if self.compute_loudness_fresh:
+      if audio is None:
+        raise ValueError(
+            "F0LoudnessPreprocessor(compute_loudness_fresh=True) requires "
+            "'audio' in the features.")
       loudness_db = spectral.compute_loudness(
           audio, sample_rate=self.sample_rate, frame_rate=self.frame_rate)
+    elif loudness_db is None:
+      raise ValueError("F0LoudnessPreprocessor requires 'loudness_db' when "
+                       'compute_loudness_fresh=False.')
 
     f0_hz = self.resample(f0_hz)
     loudness_db = self.resample(loudness_db)
@@ -206,6 +218,9 @@ class OnlineF0PowerPreprocessor(DictModule):
       audio = audio_16k
 
     pw_db = power_db
+    if not self.compute_power and pw_db is None:
+      raise ValueError('OnlineF0PowerPreprocessor needs compute_power=True '
+                       "or a 'power_db' feature.")
     if self.compute_power:
       pw_db = spectral.compute_power(audio,
                                      sample_rate=self.sample_rate,

@@ -127,9 +127,25 @@ def main(argv=None):
     spec = utils.load_spec(args.restore_dir or args.save_dir)
     model_kwargs = dict(spec['kwargs'], **model_kwargs)
 
-  n_samples = model_kwargs.get('n_samples', 64000)
-  provider = build_data_provider(args.data, n_samples, args.sample_rate,
-                                 args.frame_rate, model_kwargs)
+  # Resolve provider geometry from the preset's own defaults merged with
+  # overrides (a preset like 'tiny' has n_samples=16000; 'vst' specifies
+  # seconds and frame_rate) so the dataset matches the model out of the box.
+  import inspect
+  preset_fn = utils.get_preset(args.preset)
+  preset_defaults = {
+      k: p.default for k, p in inspect.signature(preset_fn).parameters.items()
+      if p.default is not inspect.Parameter.empty}
+  resolved = dict(preset_defaults, **model_kwargs)
+  sample_rate = resolved.get('sample_rate', args.sample_rate)
+  frame_rate = resolved.get('frame_rate', args.frame_rate)
+  if 'n_samples' in resolved:
+    n_samples = resolved['n_samples']
+  elif 'seconds' in resolved:
+    n_samples = int(resolved['seconds'] * sample_rate)
+  else:
+    n_samples = 64000
+  provider = build_data_provider(args.data, n_samples, sample_rate,
+                                 frame_rate, resolved)
 
   devices = jax.devices()
   if args.n_devices:
