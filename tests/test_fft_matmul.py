@@ -1,0 +1,50 @@
+"""Tests for the four-step matmul FFT against numpy's FFT."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddsp_tpu.ops import fft_matmul as fm
+
+
+RNG = np.random.RandomState(4)
+
+
+class TestMatmulFFT:
+
+  @pytest.mark.parametrize('n', [16384, 32768, 131072])
+  def test_rfft_matches_numpy(self, n):
+    x = RNG.randn(2, n - 777).astype(np.float32)
+    yr, yi = fm.matmul_rfft(jnp.asarray(x), n)
+    ref = np.fft.rfft(x, n)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(yr) / scale, ref.real / scale,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(yi) / scale, ref.imag / scale,
+                               atol=2e-5)
+
+  def test_irfft_round_trip(self):
+    n = 16384
+    x = RNG.randn(3, n).astype(np.float32)
+    yr, yi = fm.matmul_rfft(jnp.asarray(x), n)
+    back = np.asarray(fm.matmul_irfft(yr, yi, n))
+    np.testing.assert_allclose(back, x, atol=1e-4)
+
+  def test_convolution_identity(self):
+    # Convolving with a delayed delta shifts the signal.
+    n = 16384
+    x = RNG.randn(1, 8000).astype(np.float32)
+    delta = np.zeros((1, 100), np.float32)
+    delta[0, 10] = 1.0
+    ar, ai = fm.matmul_rfft(jnp.asarray(x), n)
+    br, bi = fm.matmul_rfft(jnp.asarray(delta), n)
+    pr, pi = fm.complex_multiply(ar, ai, br, bi)
+    out = np.asarray(fm.matmul_irfft(pr, pi, n))
+    np.testing.assert_allclose(out[0, 10:8010], x[0], atol=1e-4)
+
+  def test_use_matmul_fft_gating(self):
+    import jax
+    on_tpu = jax.default_backend() == 'tpu'
+    assert fm.use_matmul_fft(131072) == on_tpu
+    assert not fm.use_matmul_fft(8192)      # too small
+    assert not fm.use_matmul_fft(100000)    # not a power of two
