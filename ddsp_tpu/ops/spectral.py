@@ -142,7 +142,25 @@ def compute_mag(audio: Array,
                 size: int = 2048,
                 overlap: float = 0.75,
                 pad_end: bool = True) -> Array:
-  """Magnitude spectrogram."""
+  """Magnitude spectrogram.
+
+  On TPU the magnitudes are computed as a windowed-frame GEMM against the
+  half-spectrum DFT matrix (fft_matmul.matmul_stft_mag) - ~2x faster than
+  XLA's TPU FFT for the multi-scale loss sizes and complex-free. Results
+  match |stft(...)| to ~1e-4 absolute.
+  """
+  from ddsp_tpu.ops import fft_matmul  # pylint: disable=g-import-not-at-top
+  if fft_matmul.use_matmul_stft(int(2**np.ceil(np.log2(size)))):
+    audio = jnp_float32(audio)
+    if audio.ndim == 3:
+      audio = audio[..., 0]
+    if audio.ndim == 1:
+      audio = audio[jnp.newaxis, :]
+    hop_size = int(size * (1.0 - overlap))
+    fft_size = int(2**np.ceil(np.log2(size)))
+    frames = fftconv.frame(audio, size, hop_size, pad_end=pad_end)
+    frames = frames * fftconv.hann_window(size)
+    return fft_matmul.matmul_stft_mag(frames, fft_size)
   mag = jnp.abs(stft(audio, frame_size=size, overlap=overlap,
                      pad_end=pad_end))
   return mag.astype(jnp.float32)
