@@ -56,9 +56,11 @@ def _twiddles(n1: int, n2: int) -> Tuple[np.ndarray, np.ndarray]:
   return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
 
 
-# Full-f32 matmul passes: the TPU default decomposes f32 GEMMs into bf16
-# passes, which costs ~3.5e-3 mean error on 131k-point transforms - beyond
-# the reference's 1e-3 convolution tolerance. HIGHEST keeps us well within.
+# The TPU default decomposes f32 GEMMs into bf16 passes, which costs
+# ~3.5e-3 mean error on 131k-point transforms - beyond the reference's
+# 1e-3 convolution tolerance. HIGH (more bf16 passes) brings it to ~3e-5
+# while staying ~1.75x faster than XLA's FFT; HIGHEST would be exact but
+# forfeits most of the speedup.
 _PRECISION = jax.lax.Precision.HIGH
 
 

@@ -19,6 +19,12 @@ sample are frame rows k / k+1 - no gathers. Harmonics live on the 128-wide
 lane axis (padded with zero amplitude). The frame-amplitude array is small
 ([n_frames+1, 128] per batch) and stays resident in VMEM across a batch
 row's grid steps (constant block index -> no re-fetch).
+
+Replaces the compute of the reference's oscillator_bank
+(/root/reference/ddsp/core.py:912) + upsample_with_windows
+(/root/reference/ddsp/core.py:645) composition as used by
+harmonic_synthesis (/root/reference/ddsp/core.py:1048); numerical parity
+is pinned against the jnp path in tests/test_pallas_harmonic.py.
 """
 
 from __future__ import annotations
