@@ -167,6 +167,64 @@ def matmul_stft_mag(frames: Array, fft_size: int) -> Array:
   return jnp.sqrt(re * re + im * im + 1e-10)
 
 
+@functools.lru_cache(maxsize=None)
+def _irdft_half_matrices(fft_size: int):
+  """[fft_size//2+1, fft_size] inverse-rfft matrices (A, B pair).
+
+  x[t] = yr @ A + yi @ B for a hermitian half spectrum (yr, yi):
+  x[t] = (1/N) [X0 + 2 sum_{0<k<N/2} (Re Xk cos - Im Xk sin) + XN/2 cos],
+  folded into per-row weights w_k in {1, 2}.
+  """
+  n = fft_size
+  half = n // 2 + 1
+  ang = 2.0 * np.pi * np.outer(np.arange(half), np.arange(n)) / n
+  w = np.full((half, 1), 2.0)
+  w[0, 0] = 1.0
+  w[-1, 0] = 1.0
+  return ((w * np.cos(ang) / n).astype(np.float32),
+          (-w * np.sin(ang) / n).astype(np.float32))
+
+
+def matmul_rfft_small(x: Array, fft_size: int) -> Tuple[Array, Array]:
+  """rfft of real [..., m<=fft_size] as two GEMMs; returns (re, im) halves.
+
+  Direct (single-step) DFT matrices - for small transforms where the
+  [m, fft_size//2+1] matrix is tiny; use matmul_rfft (four-step) for
+  large sizes.
+  """
+  c, s = _dft_half_matrices(x.shape[-1], fft_size)
+  return (_einsum('...s,sk->...k', x, jnp.asarray(c)),
+          _einsum('...s,sk->...k', x, jnp.asarray(s)))
+
+
+def matmul_irfft_small(yr: Array, yi: Array, fft_size: int) -> Array:
+  """Inverse rfft from (re, im) half-spectra as two GEMMs -> [..., fft_size]."""
+  a, b = _irdft_half_matrices(fft_size)
+  return (_einsum('...k,kt->...t', yr, jnp.asarray(a)) +
+          _einsum('...k,kt->...t', yi, jnp.asarray(b)))
+
+
+def matmul_irfft_real_spectrum(yr: Array, fft_size: int) -> Array:
+  """Inverse rfft of a purely-real (zero-phase) half spectrum: one GEMM.
+
+  Used for frequency-sampling filter design, where the target spectrum is
+  a magnitude curve (imag = 0).
+  """
+  a, _ = _irdft_half_matrices(fft_size)
+  return _einsum('...k,kt->...t', yr, jnp.asarray(a))
+
+
+def use_matmul_small_fft(fft_size: int) -> bool:
+  """Direct-GEMM (i)rfft pays off for small batched transforms on TPU.
+
+  The FilteredNoise LTV path does thousands of ~512-point transforms per
+  step; XLA's TPU FFT is far from the MXU roofline there while the dense
+  [N, N/2+1] DFT matrices are at most a few MB.
+  """
+  return (fft_size <= 4096 and (fft_size & (fft_size - 1)) == 0 and
+          jax.default_backend() == 'tpu')
+
+
 def use_matmul_stft(fft_size: int) -> bool:
   """Magnitude STFT via GEMM pays off at loss sizes on TPU."""
   return (fft_size <= 4096 and (fft_size & (fft_size - 1)) == 0 and

@@ -246,6 +246,13 @@ def fft_convolve(audio: Array,
     i_r, i_i = fft_matmul.matmul_rfft(impulse_response, fft_size)
     p_r, p_i = fft_matmul.complex_multiply(a_r, a_i, i_r, i_i)
     audio_frames_out = fft_matmul.matmul_irfft(p_r, p_i, fft_size)
+  elif fft_matmul.use_matmul_small_fft(fft_size):
+    # Small LTV transforms (FilteredNoise: thousands of ~512-point FFTs
+    # per step) as direct DFT GEMMs on the MXU.
+    a_r, a_i = fft_matmul.matmul_rfft_small(audio_frames, fft_size)
+    i_r, i_i = fft_matmul.matmul_rfft_small(impulse_response, fft_size)
+    p_r, p_i = fft_matmul.complex_multiply(a_r, a_i, i_r, i_i)
+    audio_frames_out = fft_matmul.matmul_irfft_small(p_r, p_i, fft_size)
   else:
     audio_fft = jnp.fft.rfft(audio_frames, fft_size)
     ir_fft = jnp.fft.rfft(impulse_response, fft_size)
@@ -333,8 +340,14 @@ def frequency_impulse_response(magnitudes: Array,
   """
   magnitudes = jnp_float32(magnitudes)
   # Zero-phase IR from real (zero-phase) spectrum.
-  impulse_response = jnp.fft.irfft(
-      magnitudes.astype(jnp.complex64)).astype(jnp.float32)
+  from ddsp_tpu.ops import fft_matmul  # pylint: disable=g-import-not-at-top
+  fft_size = 2 * (int(magnitudes.shape[-1]) - 1)
+  if fft_size > 0 and fft_matmul.use_matmul_small_fft(fft_size):
+    impulse_response = fft_matmul.matmul_irfft_real_spectrum(
+        magnitudes, fft_size)
+  else:
+    impulse_response = jnp.fft.irfft(
+        magnitudes.astype(jnp.complex64)).astype(jnp.float32)
   return apply_window_to_impulse_response(impulse_response, window_size)
 
 

@@ -48,3 +48,62 @@ class TestMatmulFFT:
     assert fm.use_matmul_fft(131072) == on_tpu
     assert not fm.use_matmul_fft(8192)      # too small
     assert not fm.use_matmul_fft(100000)    # not a power of two
+
+
+class TestMatmulSmallFFT:
+
+  @pytest.mark.parametrize('n,m', [(512, 512), (512, 384), (2048, 100)])
+  def test_rfft_small_matches_numpy(self, n, m):
+    x = RNG.randn(3, 7, m).astype(np.float32)
+    yr, yi = fm.matmul_rfft_small(jnp.asarray(x), n)
+    ref = np.fft.rfft(x, n)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(yr) / scale, ref.real / scale,
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(yi) / scale, ref.imag / scale,
+                               atol=2e-6)
+
+  @pytest.mark.parametrize('n', [256, 512, 1024])
+  def test_irfft_small_round_trip(self, n):
+    x = RNG.randn(4, n).astype(np.float32)
+    yr, yi = fm.matmul_rfft_small(jnp.asarray(x), n)
+    back = np.asarray(fm.matmul_irfft_small(yr, yi, n))
+    np.testing.assert_allclose(back, x, atol=1e-5)
+
+  def test_irfft_small_matches_numpy(self):
+    n = 512
+    spec = RNG.randn(2, n // 2 + 1) + 1j * RNG.randn(2, n // 2 + 1)
+    # Hermitian endpoints (DC and nyquist real) so numpy irfft agrees.
+    yr = spec.real.astype(np.float32)
+    yi = spec.imag.astype(np.float32)
+    yi[:, 0] = 0.0
+    yi[:, -1] = 0.0
+    ref = np.fft.irfft(yr + 1j * yi, n)
+    out = np.asarray(fm.matmul_irfft_small(jnp.asarray(yr),
+                                           jnp.asarray(yi), n))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+  def test_irfft_real_spectrum(self):
+    mags = RNG.rand(2, 5, 65).astype(np.float32)
+    out = np.asarray(fm.matmul_irfft_real_spectrum(jnp.asarray(mags), 128))
+    ref = np.fft.irfft(mags.astype(np.complex64), 128)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+  def test_small_convolution_matches_fft(self):
+    n = 512
+    x = RNG.randn(2, 4, 256).astype(np.float32)
+    h = RNG.randn(2, 4, 128).astype(np.float32)
+    ar, ai = fm.matmul_rfft_small(jnp.asarray(x), n)
+    br, bi = fm.matmul_rfft_small(jnp.asarray(h), n)
+    pr, pi = fm.complex_multiply(ar, ai, br, bi)
+    out = np.asarray(fm.matmul_irfft_small(pr, pi, n))
+    ref = np.fft.irfft(np.fft.rfft(x, n) * np.fft.rfft(h, n), n)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out / scale, ref / scale, atol=1e-5)
+
+  def test_use_matmul_small_fft_gating(self):
+    import jax
+    on_tpu = jax.default_backend() == 'tpu'
+    assert fm.use_matmul_small_fft(512) == on_tpu
+    assert not fm.use_matmul_small_fft(8192)   # too large
+    assert not fm.use_matmul_small_fft(384)    # not a power of two
