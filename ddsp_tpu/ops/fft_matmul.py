@@ -214,6 +214,40 @@ def matmul_irfft_real_spectrum(yr: Array, fft_size: int) -> Array:
   return _einsum('...k,kt->...t', yr, jnp.asarray(a))
 
 
+@functools.lru_cache(maxsize=None)
+def _filter_design_matrices(n_freqs: int, window_size: int, fft_size: int):
+  """[n_freqs, fft_size//2+1] matrices: magnitude curve -> FIR spectrum.
+
+  frequency_impulse_response (zero-phase irfft -> hann window -> causal
+  rotation) followed by rfft at fft_size is linear in the magnitudes, so
+  the whole frequency-sampling filter design collapses into one complex
+  matrix, built here by pushing an identity batch through the reference
+  pipeline (ops/fftconv.py). Returns (re, im) float32 numpy arrays.
+  """
+  from ddsp_tpu.ops import fftconv  # pylint: disable=g-import-not-at-top
+  eye = np.eye(n_freqs, dtype=np.float32)
+  ir = np.asarray(fftconv.apply_window_to_impulse_response(
+      np.fft.irfft(eye, axis=-1).astype(np.float32), window_size))
+  assert ir.shape[-1] == fftconv.designed_ir_size(n_freqs, window_size), (
+      ir.shape, n_freqs, window_size)
+  spec = np.fft.rfft(ir, fft_size, axis=-1)
+  return (spec.real.astype(np.float32), spec.imag.astype(np.float32))
+
+
+def matmul_filter_design(magnitudes: Array, window_size: int,
+                         fft_size: int) -> Tuple[Array, Array]:
+  """FIR spectra for frequency-sampling design: two GEMMs.
+
+  magnitudes: [..., n_freqs] transfer curve. Returns the rfft (re, im) of
+  the windowed causal impulse response, zero-padded to fft_size - skipping
+  the time-domain IR entirely.
+  """
+  c, s = _filter_design_matrices(int(magnitudes.shape[-1]), window_size,
+                                 fft_size)
+  return (_einsum('...m,mk->...k', magnitudes, jnp.asarray(c)),
+          _einsum('...m,mk->...k', magnitudes, jnp.asarray(s)))
+
+
 def use_matmul_small_fft(fft_size: int) -> bool:
   """Direct-GEMM (i)rfft pays off for small batched transforms on TPU.
 

@@ -322,6 +322,21 @@ def apply_window_to_impulse_response(impulse_response: Array,
   return impulse_response
 
 
+def designed_ir_size(n_freqs: int, window_size: int) -> int:
+  """Length of the IR produced by frequency_impulse_response.
+
+  Mirrors apply_window_to_impulse_response's crop arithmetic; the fused
+  GEMM filter path needs the size before building any arrays (and the
+  design-matrix builder asserts agreement with the actual pipeline).
+  """
+  ir_size = 2 * (n_freqs - 1)
+  ws = ir_size if (window_size <= 0 or window_size > ir_size) else window_size
+  if ir_size - ws > 0:
+    half_idx = (ws + 1) // 2
+    return 2 * half_idx - 1
+  return ir_size
+
+
 def frequency_impulse_response(magnitudes: Array,
                                window_size: int = 0) -> Array:
   """Get windowed impulse responses via the frequency sampling method.
@@ -423,9 +438,55 @@ def frequency_filter(audio: Array,
   Returns:
     Filtered audio, [batch, audio_timesteps (+ window_size - 1 for 'valid')].
   """
+  magnitudes = jnp_float32(magnitudes)
+  from ddsp_tpu.ops import fft_matmul  # pylint: disable=g-import-not-at-top
+  if magnitudes.ndim == 3:
+    # LTV fast path (TPU): filter design AND filtering as GEMMs - the
+    # magnitude->windowed-causal-IR->spectrum chain is linear, so it
+    # collapses into one precomputed [n_freqs, n_bins] matrix pair and the
+    # time-domain IR is never materialized.
+    audio32 = jnp_float32(audio)
+    audio_size = int(audio32.shape[-1])
+    n_ir_frames = int(magnitudes.shape[1])
+    frame_size = int(np.ceil(audio_size / n_ir_frames))
+    ir_size = designed_ir_size(int(magnitudes.shape[-1]), window_size)
+    fft_size = get_fft_size(frame_size, ir_size, power_of_2=True)
+    if fft_matmul.use_matmul_small_fft(fft_size):
+      return _fused_frequency_filter(audio32, magnitudes, window_size,
+                                     padding, frame_size, ir_size, fft_size)
   impulse_response = frequency_impulse_response(magnitudes,
                                                 window_size=window_size)
   return fft_convolve(audio, impulse_response, padding=padding)
+
+
+def _fused_frequency_filter(audio: Array, magnitudes: Array,
+                            window_size: int, padding: str,
+                            frame_size: int, ir_size: int,
+                            fft_size: int) -> Array:
+  """LTV frequency_filter with design + filtering fused into MXU GEMMs."""
+  from ddsp_tpu.ops import fft_matmul  # pylint: disable=g-import-not-at-top
+  batch_size, audio_size = audio.shape
+  if magnitudes.shape[0] == 1 and batch_size > 1:
+    magnitudes = jnp.tile(magnitudes, (batch_size, 1, 1))
+  if magnitudes.shape[0] != batch_size:
+    raise ValueError(f'Batch size of audio ({batch_size}) and magnitudes '
+                     f'({magnitudes.shape[0]}) must be the same.')
+
+  audio_frames = frame(audio, frame_size, frame_size, pad_end=True)
+  n_audio_frames = int(audio_frames.shape[1])
+  if n_audio_frames != magnitudes.shape[1]:
+    raise ValueError(
+        f'Number of Audio frames ({n_audio_frames}) and magnitude frames '
+        f'({magnitudes.shape[1]}) do not match.')
+
+  a_r, a_i = fft_matmul.matmul_rfft_small(audio_frames, fft_size)
+  i_r, i_i = fft_matmul.matmul_filter_design(magnitudes, window_size,
+                                             fft_size)
+  p_r, p_i = fft_matmul.complex_multiply(a_r, a_i, i_r, i_i)
+  audio_frames_out = fft_matmul.matmul_irfft_small(p_r, p_i, fft_size)
+  audio_out = overlap_and_add(audio_frames_out, frame_size)
+  return crop_and_compensate_delay(audio_out, audio_size, ir_size, padding,
+                                   -1)
 
 
 def sinc_filter(audio: Array,

@@ -1,5 +1,6 @@
 """Tests for the four-step matmul FFT against numpy's FFT."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -107,3 +108,50 @@ class TestMatmulSmallFFT:
     assert fm.use_matmul_small_fft(512) == on_tpu
     assert not fm.use_matmul_small_fft(8192)   # too large
     assert not fm.use_matmul_small_fft(384)    # not a power of two
+
+
+class TestFusedFrequencyFilter:
+  """The fused GEMM LTV filter must match the reference design+convolve."""
+
+  @pytest.mark.parametrize('window_size', [0, 64, 100])
+  @pytest.mark.parametrize('n_freqs', [33, 65])
+  def test_matches_reference_path(self, window_size, n_freqs):
+    from ddsp_tpu.ops import fftconv
+    rng = np.random.RandomState(1)
+    audio = rng.randn(2, 4000).astype(np.float32)
+    mags = rng.rand(2, 50, n_freqs).astype(np.float32)
+    ref = np.asarray(fftconv.frequency_filter(
+        jnp.asarray(audio), jnp.asarray(mags), window_size=window_size))
+    ir_size = fftconv.designed_ir_size(n_freqs, window_size)
+    fft_size = fftconv.get_fft_size(80, ir_size, power_of_2=True)
+    out = np.asarray(fftconv._fused_frequency_filter(
+        jnp.asarray(audio), jnp.asarray(mags), window_size, 'same',
+        80, ir_size, fft_size))
+    assert out.shape == ref.shape
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out / scale, ref / scale, atol=1e-5)
+
+  def test_designed_ir_size_matches_pipeline(self):
+    from ddsp_tpu.ops import fftconv
+    for n_freqs, ws in [(65, 0), (65, 64), (65, 100), (33, 17), (17, 32)]:
+      ir = fftconv.frequency_impulse_response(
+          jnp.ones((1, 1, n_freqs)), window_size=ws)
+      assert ir.shape[-1] == fftconv.designed_ir_size(n_freqs, ws), (
+          n_freqs, ws)
+
+  def test_gradients_match_reference_path(self):
+    from ddsp_tpu.ops import fftconv
+    rng = np.random.RandomState(2)
+    audio = jnp.asarray(rng.randn(1, 1000).astype(np.float32))
+    mags = jnp.asarray(rng.rand(1, 10, 17).astype(np.float32))
+    def loss_ref(m):
+      return jnp.mean(jnp.abs(fftconv.frequency_filter(audio, m)))
+    ir_size = fftconv.designed_ir_size(17, 0)
+    fft_size = fftconv.get_fft_size(100, ir_size, power_of_2=True)
+    def loss_fused(m):
+      return jnp.mean(jnp.abs(fftconv._fused_frequency_filter(
+          audio, m, 0, 'same', 100, ir_size, fft_size)))
+    g_ref = np.asarray(jax.grad(loss_ref)(mags))
+    g_fused = np.asarray(jax.grad(loss_fused)(mags))
+    scale = np.abs(g_ref).max()
+    np.testing.assert_allclose(g_fused / scale, g_ref / scale, atol=1e-5)
