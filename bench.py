@@ -64,22 +64,31 @@ def main():
                       rngs={'noise': noise_key})
     return jnp.mean(signal**2)
 
-  step = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))
+  # Differentiate w.r.t. params only: matches a real train step (inputs are
+  # data, not trainables) and matches benchmarks/run_all.py so BENCH_r{N}
+  # numbers are comparable round over round.
+  step = jax.jit(jax.value_and_grad(loss_fn))
 
   # Move inputs to device once (steady-state training keeps data on-device).
   params = jax.device_put(params)
   inputs = jax.device_put(inputs)
 
+  def sync(tree):
+    # block_until_ready under-reports through the device tunnel; force an
+    # actual host transfer of one leaf to fence all prior work.
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    np.asarray(leaf).ravel()[:1]
+
   # Warmup / compile.
-  loss, _ = step(params, inputs)
-  loss.block_until_ready()
+  loss, grads = step(params, inputs)
+  sync((loss, grads))
 
   # Timed steady state.
   iters = 20
   t0 = time.time()
   for _ in range(iters):
     loss, grads = step(params, inputs)
-  jax.block_until_ready((loss, grads))
+  sync((loss, grads))
   dt = (time.time() - t0) / iters
   samples_per_s = BATCH * N_SAMPLES / dt
 

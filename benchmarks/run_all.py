@@ -111,6 +111,41 @@ def bench_chain_fwd_grad(iters):
           'audio_samples_per_s': batch * N_SAMPLES / dt}
 
 
+def bench_training_steps_tpu_batch(iters):
+  """The TPU-canonical training config: solo_instrument at batch 64.
+
+  The reference trains at batch 64 on TPU
+  (/root/reference/ddsp/training/gin/optimization/base_tpu.gin:4-5) with the
+  solo_instrument chain; this is the per-chip number that matters for
+  production training throughput.
+  """
+  import jax
+  from ddsp_tpu import utils
+  from ddsp_tpu.data import SyntheticSinusoidProvider
+  from ddsp_tpu.parallel import create_mesh
+  from ddsp_tpu.train import Trainer
+  batch_size = 64
+  model = utils.build_model('solo_instrument')
+  provider = SyntheticSinusoidProvider(n_samples=N_SAMPLES, sample_rate=SR,
+                                       frame_rate=250,
+                                       n_examples=batch_size)
+  batch = next(provider.get_batch(batch_size, shuffle=False))
+  trainer = Trainer(model, mesh=create_mesh(n_data=1,
+                                            devices=jax.devices()[:1]))
+  state = trainer.init(batch)
+  batch = jax.device_put(batch)
+  state, losses = trainer.train_step(state, batch)
+  _sync(losses)
+  t0 = time.perf_counter()
+  for _ in range(iters):
+    state, losses = trainer.train_step(state, batch)
+  _sync(losses)
+  dt = (time.perf_counter() - t0) / iters
+  return {'seconds_per_step': dt, 'steps_per_s': 1.0 / dt,
+          'audio_samples_per_s': batch_size * N_SAMPLES / dt,
+          'batch_size': batch_size}
+
+
 def bench_training_steps(iters):
   import jax
   from ddsp_tpu import utils
@@ -150,7 +185,9 @@ def main():
   for name, fn in [('harmonic_forward_batch1', bench_harmonic_forward),
                    ('filtered_noise_batch8', bench_filtered_noise),
                    ('chain_fwd_grad_batch16', bench_chain_fwd_grad),
-                   ('train_steps_batch4', bench_training_steps)]:
+                   ('train_steps_batch4', bench_training_steps),
+                   ('train_steps_batch64_tpu_canonical',
+                    bench_training_steps_tpu_batch)]:
     results[name] = fn(args.iters)
     print(name, json.dumps(results[name]))
 

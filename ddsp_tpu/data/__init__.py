@@ -4,6 +4,8 @@ from ddsp_tpu.data.providers import ArrayDataProvider  # noqa: F401
 from ddsp_tpu.data.providers import DataProvider  # noqa: F401
 from ddsp_tpu.data.providers import SyntheticSinusoidProvider  # noqa: F401
 from ddsp_tpu.data.providers import TFRecordProvider  # noqa: F401
+from ddsp_tpu.data.tfds import NSynthTfds  # noqa: F401
+from ddsp_tpu.data.tfds import TfdsProvider  # noqa: F401
 from ddsp_tpu.data import synthetic_data  # noqa: F401,E402
 from ddsp_tpu.data.multi import BaseMultiProvider  # noqa: F401,E402
 from ddsp_tpu.data.multi import MixedProvider  # noqa: F401,E402

@@ -8,17 +8,24 @@ accumulated fundamental phase, synthesize
 where A is the 2-tap (hann 'window' or 'linear') upsampling of frame-rate
 harmonic amplitudes. The jnp path materializes A and the per-harmonic phases
 ([batch, n_samples, n_harmonics], ~400 MB at the canonical workload) in HBM;
-this kernel streams hop-aligned blocks through VMEM and fuses interpolation,
-nyquist masking, sin, and the harmonic reduction into one pass, writing only
-the [batch, n_samples] audio. A custom VJP runs the mirrored fused backward
-(d_phase per sample; d_amplitude accumulated per (hop, tap) then folded to
-frames outside the kernel).
+this kernel streams lane-aligned sample blocks through VMEM and fuses
+interpolation, nyquist masking, sin, and the harmonic reduction into one
+pass, writing only the [batch, n_samples] audio. A custom VJP runs the
+mirrored fused backward (d_phase per sample; d_amplitude accumulated per
+(row, tap) then folded to frames outside the kernel).
 
-Layout: samples are viewed as [n_hops, hop] so the 2 amplitude taps per
-sample are frame rows k / k+1 - no gathers. Harmonics live on the 128-wide
-lane axis (padded with zero amplitude). The frame-amplitude array is small
-([n_frames+1, 128] per batch) and stays resident in VMEM across a batch
-row's grid steps (constant block index -> no re-fetch).
+Layout: samples are viewed as rows of width W on the 128-wide lane axis.
+  * hop % 128 == 0: one hop per row, W = hop. Each sample needs the 2
+    amplitude taps of frames k / k+1.
+  * hop in {32, 64} (128 % hop == 0): P = 128 // hop consecutive hops are
+    packed per row, W = 128. A row spanning hops [P*r, P*r+P) needs the
+    P+1 frames [P*r, P*r+P]; tap j's interpolation weight is nonzero only
+    on lane segments j (fall) and j-1 (rise), so the per-sample amplitude
+    is a sum of P+1 per-row scalars times fixed lane-weight vectors. This
+    covers the canonical presets (time_steps=1000 over 64000 samples ->
+    hop 64) that a hop-aligned-only kernel would miss.
+The frame-amplitude taps are pre-gathered outside the kernel into
+[batch, P+1, n_rows, 128-lane harmonics] so the kernel does no gathers.
 
 Replaces the compute of the reference's oscillator_bank
 (/root/reference/ddsp/core.py:912) + upsample_with_windows
@@ -41,20 +48,28 @@ Array = jax.Array
 _LANES = 128
 
 
-
-def _pick_block_hops(n_hops: int) -> int:
-  """Largest power-of-two block (8..64) with <= 15% hop padding waste.
+def _pick_block_rows(n_rows: int) -> int:
+  """Largest power-of-two block (8..64) with <= 15% row padding waste.
 
   Bigger blocks amortize per-instruction VPU overhead (measured ~20% faster
-  at 64 vs 8 on v5e for the canonical 250-hop workload); small frame counts
+  at 64 vs 8 on v5e for the canonical 250-hop workload); small row counts
   fall back to small blocks to bound the zero-padding waste.
   """
   best = 8
   for b in (8, 16, 32, 64):
-    padded = -(-n_hops // b) * b
-    if padded <= 1.15 * n_hops or b == 8:
+    padded = -(-n_rows // b) * b
+    if padded <= 1.15 * n_rows or b == 8:
       best = b
   return best
+
+
+def _packing(hop: int) -> Optional[Tuple[int, int]]:
+  """(P hops-per-row, W row width) for a supported hop, else None."""
+  if hop >= 128 and hop % _LANES == 0:
+    return 1, hop
+  if hop in (32, 64):
+    return _LANES // hop, _LANES
+  return None
 
 
 def harmonic_kernel_supported(n_samples: int, n_frames: int,
@@ -65,8 +80,9 @@ def harmonic_kernel_supported(n_samples: int, n_frames: int,
   if n_samples % n_frames != 0:
     return False
   hop = n_samples // n_frames
-  # Lane-friendly hop; tiny hops are better served by XLA fusion.
-  return hop % 128 == 0
+  # Lane-friendly hops: either a multiple of the 128-lane width, or a
+  # power-of-two fraction of it (multiple hops packed per lane row).
+  return _packing(hop) is not None
 
 
 def _weights(hop: int, method: str) -> Tuple[np.ndarray, np.ndarray]:
@@ -92,73 +108,73 @@ def _weights(hop: int, method: str) -> Tuple[np.ndarray, np.ndarray]:
   return rise.astype(np.float32), fall.astype(np.float32)
 
 
-def _fwd_kernel(phase_ref, f0_ref, ham_ref, rf_ref, out_ref, *,
-                nyquist: float, block_hops: int, n_harmonics: int):
-  """One (batch, hop-block): fused interp + mask + synth + reduce.
+def _tap_weights(hop: int, p: int, w: int, method: str) -> np.ndarray:
+  """Lane-weight matrix [P+1, W]: row j = tap j's per-lane weight.
+
+  Tap j covers frame P*r + j of row r: it contributes its 'fall' half on
+  lane segment j (samples of hop P*r+j interpolating down from frame
+  P*r+j) and its 'rise' half on segment j-1 (samples of hop P*r+j-1
+  interpolating up toward frame P*r+j). For P=1 this is just
+  [[fall], [rise]].
+  """
+  rise, fall = _weights(hop, method)
+  rf = np.zeros((p + 1, w), dtype=np.float32)
+  for j in range(p + 1):
+    if j < p:
+      rf[j, j * hop:(j + 1) * hop] += fall
+    if j >= 1:
+      rf[j, (j - 1) * hop:j * hop] += rise
+  return rf
+
+
+def _fwd_kernel(phase_ref, f0_ref, taps_ref, rf_ref, out_ref, *,
+                nyquist: float, n_harmonics: int, n_taps: int):
+  """One (batch, row-block): fused interp + mask + synth + reduce.
 
   Instead of 128-lane sin evaluations per sample, harmonics are generated
   with the Chebyshev recurrence sin((h+1)p) = 2cos(p)sin(hp) - sin((h-1)p):
-  two transcendentals per sample total, then 2 MACs per harmonic on the VPU.
-  The harmonic loop is unrolled with static lane indices (no dynamic lane
-  slicing).
+  two transcendentals per sample total, then n_taps MACs per harmonic on
+  the VPU. The harmonic loop is unrolled with static lane indices (no
+  dynamic lane slicing).
 
-  phase_ref/f0_ref/out_ref: [1, K, hop]; ham_ref: [1, n_frames+1, LANES]
-  (full frame axis, resident); rf_ref: [2, hop] (rise; fall).
+  phase_ref/f0_ref/out_ref: [1, K, W]; taps_ref: [1, n_taps, K, LANES]
+  (harmonics on lanes); rf_ref: [n_taps, W] lane weights.
   """
-  import jax.experimental.pallas as pl  # pylint: disable=g-import-not-at-top
-
-  k = phase_ref.shape[1]
-  i = pl.program_id(1)
-
-  phase = phase_ref[0, :, :]                              # [K, hop]
+  phase = phase_ref[0, :, :]                              # [K, W]
   f0 = f0_ref[0, :, :]
-  rise = rf_ref[0:1, :]                                   # [1, hop]
-  fall = rf_ref[1:2, :]
-
-  ham_blk = ham_ref[0, pl.ds(i * block_hops, k + 1), :]   # [K+1, LANES]
-  ham_lo = ham_blk[:k, :]
-  ham_hi = ham_blk[1:, :]
+  tap_amps = [taps_ref[0, j, :, :] for j in range(n_taps)]  # [K, LANES] each
 
   s_curr = jnp.sin(phase)
   two_c1 = 2.0 * jnp.cos(phase)
   s_prev = jnp.zeros_like(phase)
 
-  acc_lo = jnp.zeros_like(phase)
-  acc_hi = jnp.zeros_like(phase)
+  accs = [jnp.zeros_like(phase) for _ in range(n_taps)]
   for h in range(1, n_harmonics + 1):
     s_m = jnp.where(f0 * float(h) >= nyquist, 0.0, s_curr)
-    acc_lo += ham_lo[:, h - 1:h] * s_m
-    acc_hi += ham_hi[:, h - 1:h] * s_m
+    for j in range(n_taps):
+      accs[j] += tap_amps[j][:, h - 1:h] * s_m
     if h < n_harmonics:
       s_next = two_c1 * s_curr - s_prev
       s_prev, s_curr = s_curr, s_next
 
-  out_ref[0, :, :] = fall * acc_lo + rise * acc_hi
+  out = rf_ref[0:1, :] * accs[0]
+  for j in range(1, n_taps):
+    out += rf_ref[j:j + 1, :] * accs[j]
+  out_ref[0, :, :] = out
 
 
-def _bwd_kernel(phase_ref, f0_ref, ham_ref, rf_ref, g_ref,
-                dphase_ref, dham_parts_ref, *, nyquist: float,
-                block_hops: int, n_harmonics: int):
+def _bwd_kernel(phase_ref, f0_ref, taps_ref, rf_ref, g_ref,
+                dphase_ref, dtaps_ref, *, nyquist: float,
+                n_harmonics: int, n_taps: int):
   """Fused backward via the same sin/cos recurrences.
 
   dphase[s] = g[s] * sum_h A_h[s] * h * cos(h p_s) * mask
-  dham_parts[0, k, h] = sum_d fall[d] * g[k, d] * mask * sin(h p)
-  dham_parts[1, k, h] = sum_d rise[d] * g[k, d] * mask * sin(h p)
+  dtaps[j, k, h] = sum_l rf[j, l] * g[k, l] * mask * sin(h p)
   """
-  import jax.experimental.pallas as pl  # pylint: disable=g-import-not-at-top
-
-  k = phase_ref.shape[1]
-  i = pl.program_id(1)
-
   phase = phase_ref[0, :, :]
   f0 = f0_ref[0, :, :]
-  rise = rf_ref[0:1, :]
-  fall = rf_ref[1:2, :]
   g = g_ref[0, :, :]
-
-  ham_blk = ham_ref[0, pl.ds(i * block_hops, k + 1), :]
-  ham_lo = ham_blk[:k, :]
-  ham_hi = ham_blk[1:, :]
+  tap_amps = [taps_ref[0, j, :, :] for j in range(n_taps)]
 
   s_curr = jnp.sin(phase)
   c_curr = jnp.cos(phase)
@@ -166,22 +182,24 @@ def _bwd_kernel(phase_ref, f0_ref, ham_ref, rf_ref, g_ref,
   s_prev = jnp.zeros_like(phase)
   c_prev = jnp.ones_like(phase)
 
-  gf = fall * g
-  gr = rise * g
+  # Weighted upstream gradients, one per tap (hoisted out of the h loop).
+  gw = [rf_ref[j:j + 1, :] * g for j in range(n_taps)]
+  k = phase.shape[0]
 
   dphase_acc = jnp.zeros_like(phase)
-  lo_cols = []
-  hi_cols = []
+  cols = [[] for _ in range(n_taps)]
   for h in range(1, n_harmonics + 1):
     mask = f0 * float(h) < nyquist
     s_m = jnp.where(mask, s_curr, 0.0)
     c_m = jnp.where(mask, c_curr, 0.0)
 
-    a_h = ham_lo[:, h - 1:h] * fall + ham_hi[:, h - 1:h] * rise
+    a_h = tap_amps[0][:, h - 1:h] * rf_ref[0:1, :]
+    for j in range(1, n_taps):
+      a_h += tap_amps[j][:, h - 1:h] * rf_ref[j:j + 1, :]
     dphase_acc += a_h * (float(h) * c_m)
 
-    lo_cols.append(jnp.sum(gf * s_m, axis=1, keepdims=True))
-    hi_cols.append(jnp.sum(gr * s_m, axis=1, keepdims=True))
+    for j in range(n_taps):
+      cols[j].append(jnp.sum(gw[j] * s_m, axis=1, keepdims=True))
 
     if h < n_harmonics:
       s_next = two_c1 * s_curr - s_prev
@@ -193,67 +211,68 @@ def _bwd_kernel(phase_ref, f0_ref, ham_ref, rf_ref, g_ref,
 
   pad = _LANES - n_harmonics
   zeros = [jnp.zeros((k, pad), jnp.float32)] if pad else []
-  dham_parts_ref[0, 0, :, :] = jnp.concatenate(lo_cols + zeros, axis=1)
-  dham_parts_ref[0, 1, :, :] = jnp.concatenate(hi_cols + zeros, axis=1)
+  for j in range(n_taps):
+    dtaps_ref[0, j, :, :] = jnp.concatenate(cols[j] + zeros, axis=1)
 
 
-def _pallas_fwd(phase_r, f0_r, ham_pad, rf, *, n_hops, hop, nyquist,
-                n_harmonics, block_hops, interpret):
-  """phase_r/f0_r: [B, n_hops, hop]; ham_pad: [B, n_hops + 1, LANES]."""
+def _pallas_fwd(phase_r, f0_r, taps, rf, *, w, nyquist, n_harmonics,
+                n_taps, block_rows, interpret):
+  """phase_r/f0_r: [B, n_rows, W]; taps: [B, n_taps, n_rows, LANES]."""
   from jax.experimental import pallas as pl
 
-  batch = phase_r.shape[0]
-  n_frames_ext = ham_pad.shape[1]
-  grid = (batch, n_hops // block_hops)
+  batch, n_rows = phase_r.shape[0], phase_r.shape[1]
+  grid = (batch, n_rows // block_rows)
   blk3 = lambda b, i: (b, i, 0)
 
   return pl.pallas_call(
       functools.partial(_fwd_kernel, nyquist=nyquist,
-                        block_hops=block_hops, n_harmonics=n_harmonics),
+                        n_harmonics=n_harmonics, n_taps=n_taps),
       grid=grid,
       in_specs=[
-          pl.BlockSpec((1, block_hops, hop), blk3),
-          pl.BlockSpec((1, block_hops, hop), blk3),
-          pl.BlockSpec((1, n_frames_ext, _LANES), lambda b, i: (b, 0, 0)),
-          pl.BlockSpec((2, hop), lambda b, i: (0, 0)),
+          pl.BlockSpec((1, block_rows, w), blk3),
+          pl.BlockSpec((1, block_rows, w), blk3),
+          pl.BlockSpec((1, n_taps, block_rows, _LANES),
+                       lambda b, i: (b, 0, i, 0)),
+          pl.BlockSpec((n_taps, w), lambda b, i: (0, 0)),
       ],
-      out_specs=pl.BlockSpec((1, block_hops, hop), blk3),
-      out_shape=jax.ShapeDtypeStruct((batch, n_hops, hop), jnp.float32),
+      out_specs=pl.BlockSpec((1, block_rows, w), blk3),
+      out_shape=jax.ShapeDtypeStruct((batch, n_rows, w), jnp.float32),
       interpret=interpret,
-  )(phase_r, f0_r, ham_pad, rf)
+  )(phase_r, f0_r, taps, rf)
 
 
-def _pallas_bwd(phase_r, f0_r, ham_pad, rf, g_r, *, n_hops, hop, nyquist,
-                n_harmonics, block_hops, interpret):
+def _pallas_bwd(phase_r, f0_r, taps, rf, g_r, *, w, nyquist, n_harmonics,
+                n_taps, block_rows, interpret):
   from jax.experimental import pallas as pl
 
-  batch = phase_r.shape[0]
-  n_frames_ext = ham_pad.shape[1]
-  grid = (batch, n_hops // block_hops)
+  batch, n_rows = phase_r.shape[0], phase_r.shape[1]
+  grid = (batch, n_rows // block_rows)
   blk3 = lambda b, i: (b, i, 0)
 
   return pl.pallas_call(
       functools.partial(_bwd_kernel, nyquist=nyquist,
-                        block_hops=block_hops, n_harmonics=n_harmonics),
+                        n_harmonics=n_harmonics, n_taps=n_taps),
       grid=grid,
       in_specs=[
-          pl.BlockSpec((1, block_hops, hop), blk3),
-          pl.BlockSpec((1, block_hops, hop), blk3),
-          pl.BlockSpec((1, n_frames_ext, _LANES), lambda b, i: (b, 0, 0)),
-          pl.BlockSpec((2, hop), lambda b, i: (0, 0)),
-          pl.BlockSpec((1, block_hops, hop), blk3),
+          pl.BlockSpec((1, block_rows, w), blk3),
+          pl.BlockSpec((1, block_rows, w), blk3),
+          pl.BlockSpec((1, n_taps, block_rows, _LANES),
+                       lambda b, i: (b, 0, i, 0)),
+          pl.BlockSpec((n_taps, w), lambda b, i: (0, 0)),
+          pl.BlockSpec((1, block_rows, w), blk3),
       ],
       out_specs=(
-          pl.BlockSpec((1, block_hops, hop), blk3),
-          pl.BlockSpec((1, 2, block_hops, _LANES),
+          pl.BlockSpec((1, block_rows, w), blk3),
+          pl.BlockSpec((1, n_taps, block_rows, _LANES),
                        lambda b, i: (b, 0, i, 0)),
       ),
       out_shape=(
-          jax.ShapeDtypeStruct((batch, n_hops, hop), jnp.float32),
-          jax.ShapeDtypeStruct((batch, 2, n_hops, _LANES), jnp.float32),
+          jax.ShapeDtypeStruct((batch, n_rows, w), jnp.float32),
+          jax.ShapeDtypeStruct((batch, n_taps, n_rows, _LANES),
+                               jnp.float32),
       ),
       interpret=interpret,
-  )(phase_r, f0_r, ham_pad, rf, g_r)
+  )(phase_r, f0_r, taps, rf, g_r)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -264,77 +283,96 @@ def _fused(phase0: Array, f0_env: Array, ham: Array,
 
 
 def _prep(phase0, f0_env, ham, method):
-  """Reshape to hop-blocked layout; pad hops to a block multiple."""
+  """Reshape to row-blocked layout; pad rows to a block multiple.
+
+  Returns (phase_r, f0_r, taps, rf, geometry...) where taps[b, j, r, :] is
+  frame P*r + j of the endpoint-extended, zero-padded, 128-lane-padded
+  amplitude array — the P+1 frames each packed row interpolates between.
+  """
   batch, n_samples = phase0.shape
   n_frames = ham.shape[1]
   hop = n_samples // n_frames
+  p, w = _packing(hop)
+  n_taps = p + 1
   n_hops = n_frames
-  block_hops = _pick_block_hops(n_hops)
-  n_hops_pad = -(-n_hops // block_hops) * block_hops
-  pad_h = n_hops_pad - n_hops
+
+  n_rows = -(-n_hops // p)
+  block_rows = _pick_block_rows(n_rows)
+  n_rows_pad = -(-n_rows // block_rows) * block_rows
+  hops_pad = n_rows_pad * p - n_hops
 
   # Wrap the fundamental phase: with integer harmonic ratios,
   # sin(h * (phi mod 2pi)) == sin(h * phi) exactly, and the much smaller
   # arguments improve float32 sin accuracy for long signals.
   phase0 = phase0 % (2.0 * np.pi)
-  phase_r = phase0.reshape(batch, n_hops, hop)
-  f0_r = f0_env.reshape(batch, n_hops, hop)
-  if pad_h:
-    phase_r = jnp.pad(phase_r, ((0, 0), (0, pad_h), (0, 0)))
-    f0_r = jnp.pad(f0_r, ((0, 0), (0, pad_h), (0, 0)))
+  if hops_pad:
+    phase0 = jnp.pad(phase0, ((0, 0), (0, hops_pad * hop)))
+    f0_env = jnp.pad(f0_env, ((0, 0), (0, hops_pad * hop)))
+  phase_r = phase0.reshape(batch, n_rows_pad, w)
+  f0_r = f0_env.reshape(batch, n_rows_pad, w)
 
   # Endpoint frame + hop padding (zero amps -> padded hops contribute 0)
-  # + lane padding.
+  # + lane padding; then gather the P+1 interleaved tap streams.
   ham_ext = jnp.concatenate([ham, ham[:, -1:, :]], axis=1)
-  if pad_h:
+  frames_needed = n_rows_pad * p + 1
+  extra = frames_needed - ham_ext.shape[1]
+  if extra > 0:
     ham_ext = jnp.concatenate(
-        [ham_ext, jnp.zeros((batch, pad_h, ham.shape[-1]),
+        [ham_ext, jnp.zeros((batch, extra, ham.shape[-1]),
                             ham_ext.dtype)], axis=1)
   lane_pad = _LANES - ham.shape[-1]
   ham_pad = jnp.pad(ham_ext, ((0, 0), (0, 0), (0, lane_pad)))
+  taps = jnp.stack(
+      [ham_pad[:, j:j + p * n_rows_pad:p, :] for j in range(n_taps)],
+      axis=1)  # [B, n_taps, n_rows_pad, LANES]
 
-  rise, fall = _weights(hop, method)
-  rf = jnp.asarray(np.stack([rise, fall]))
-  return phase_r, f0_r, ham_pad, rf, n_hops, n_hops_pad, hop, block_hops
+  rf = jnp.asarray(_tap_weights(hop, p, w, method))
+  return (phase_r, f0_r, taps, rf, n_rows, n_rows_pad, hop, p, w,
+          block_rows)
 
 
 def _fused_fwd(phase0, f0_env, ham, sample_rate, method, interpret):
-  (phase_r, f0_r, ham_pad, rf, n_hops, n_hops_pad, hop,
-   block_hops) = _prep(phase0, f0_env, ham, method)
-  audio = _pallas_fwd(phase_r, f0_r, ham_pad, rf, n_hops=n_hops_pad,
-                      hop=hop, nyquist=sample_rate / 2.0,
-                      n_harmonics=ham.shape[-1], block_hops=block_hops,
-                      interpret=interpret)
+  (phase_r, f0_r, taps, rf, n_rows, n_rows_pad, hop, p, w,
+   block_rows) = _prep(phase0, f0_env, ham, method)
+  del n_rows, hop, p
+  audio = _pallas_fwd(phase_r, f0_r, taps, rf, w=w,
+                      nyquist=sample_rate / 2.0,
+                      n_harmonics=ham.shape[-1], n_taps=rf.shape[0],
+                      block_rows=block_rows, interpret=interpret)
   batch, n_samples = phase0.shape
-  audio = audio[:, :n_hops, :].reshape(batch, n_samples)
+  audio = audio.reshape(batch, n_rows_pad * w)[:, :n_samples]
   return audio, (phase0, f0_env, ham)
 
 
 def _fused_bwd(sample_rate, method, interpret, residuals, g):
   phase0, f0_env, ham = residuals
-  (phase_r, f0_r, ham_pad, rf, n_hops, n_hops_pad, hop,
-   block_hops) = _prep(phase0, f0_env, ham, method)
+  (phase_r, f0_r, taps, rf, n_rows, n_rows_pad, hop, p, w,
+   block_rows) = _prep(phase0, f0_env, ham, method)
+  del n_rows
   batch, n_samples = phase0.shape
-  g_r = g.reshape(batch, n_hops, hop)
-  if n_hops_pad != n_hops:
-    g_r = jnp.pad(g_r, ((0, 0), (0, n_hops_pad - n_hops), (0, 0)))
+  n_taps = rf.shape[0]
+  if n_rows_pad * w != n_samples:
+    g = jnp.pad(g, ((0, 0), (0, n_rows_pad * w - n_samples)))
+  g_r = g.reshape(batch, n_rows_pad, w)
 
-  dphase_r, dham_parts = _pallas_bwd(
-      phase_r, f0_r, ham_pad, rf, g_r, n_hops=n_hops_pad, hop=hop,
-      nyquist=sample_rate / 2.0, n_harmonics=ham.shape[-1],
-      block_hops=block_hops, interpret=interpret)
+  dphase_r, dtaps = _pallas_bwd(
+      phase_r, f0_r, taps, rf, g_r, w=w, nyquist=sample_rate / 2.0,
+      n_harmonics=ham.shape[-1], n_taps=n_taps, block_rows=block_rows,
+      interpret=interpret)
 
-  dphase = dphase_r[:, :n_hops, :].reshape(batch, n_samples)
-  # Fold per-hop tap contributions back to frames: frame t gets the 'fall'
-  # part of hop t plus the 'rise' part of hop t-1; the endpoint frame's
-  # rise part (hop T-1 -> frame T) folds back onto frame T-1 because the
-  # endpoint was a copy of it.
+  dphase = dphase_r.reshape(batch, n_rows_pad * w)[:, :n_samples]
+  # Scatter per-(row, tap) contributions back to frames: frame P*r + j
+  # receives tap j of row r (padded rows contribute zero because the
+  # upstream gradient was zero-padded); then the endpoint frame's gradient
+  # folds onto the last real frame because the endpoint was a copy of it.
   n_h = ham.shape[-1]
-  fall_part = dham_parts[:, 0, :n_hops, :n_h]            # hop t -> frame t
-  rise_part = dham_parts[:, 1, :n_hops, :n_h]            # hop t -> frame t+1
-  dham = fall_part
-  dham = dham.at[:, 1:, :].add(rise_part[:, :-1, :])
-  dham = dham.at[:, -1:, :].add(rise_part[:, -1:, :])
+  n_frames = ham.shape[1]
+  dham_full = jnp.zeros((batch, n_rows_pad * p + 1, n_h), jnp.float32)
+  for j in range(n_taps):
+    dham_full = dham_full.at[:, j:j + p * n_rows_pad:p, :].add(
+        dtaps[:, j, :, :n_h])
+  dham = dham_full[:, :n_frames, :]
+  dham = dham.at[:, -1, :].add(dham_full[:, n_frames, :])
   # No gradient to f0 through the (piecewise-constant) nyquist mask.
   return dphase, jnp.zeros_like(f0_env), dham
 

@@ -134,9 +134,6 @@ def local_fft_convolve_same(audio_local: Array,
   # position p gets sum of out_i[p + delay - i * t_local].
   delay = ((ir_size - 1) // 2 - 1 if delay_compensation < 0
            else delay_compensation)
-  if delay > t_local:
-    raise ValueError(f'delay_compensation ({delay}) must not exceed the '
-                     f'shard length ({t_local}).')
   head = out_local[:, :delay] if delay > 0 else None
   if delay > 0:
     out_local = out_local[:, delay:]
@@ -159,16 +156,25 @@ def local_fft_convolve_same(audio_local: Array,
       carry = jnp.concatenate(
           [carry[:, t_local:], jnp.zeros_like(carry[:, :t_local])], axis=1)
 
-  # Left halo: the delay shift makes shard i's last `delay` positions draw
-  # on the *head* of shard i+1's raw output (the right neighbor's first
-  # `delay` samples, pre-crop). Shard n-1 correctly receives zeros: the
-  # global positions past T it would need don't exist in 'same' padding.
+  # Left halo: the delay shift makes the tail output positions of the
+  # preceding ceil(delay / t_local) shards draw on shard i's *head* (its
+  # first `delay` raw samples, pre-crop). Ring the heads left; step s
+  # delivers the buffer chunk aligned with the receiver's own output span.
+  # With delay > t_local (e.g. the canonical 48000-tap reverb at high
+  # shard counts) the head simply rides the ring for multiple steps.
+  # Right-edge shards correctly accumulate zeros flowing in off the ring's
+  # end: their own raw OLA output already spans every raw position their
+  # window needs.
   if head is not None and head.shape[1] > 0:
+    k_left = -(-delay // t_local)
+    # Buffer covers output positions [(i - k_left) * t_local, i * t_local);
+    # the head occupies its last `delay` entries.
+    carry = jnp.pad(head, ((0, 0), (k_left * t_local - delay, 0)))
     perm_left = [(i + 1, i) for i in range(n_shards - 1)]
-    head_from_right = jax.lax.ppermute(head, axis_name, perm_left)
-    result = jnp.concatenate(
-        [result[:, :t_local - delay],
-         result[:, t_local - delay:] + head_from_right], axis=1)
+    for s in range(1, k_left + 1):
+      carry = jax.lax.ppermute(carry, axis_name, perm_left)
+      result = result + carry[:, (k_left - s) * t_local:
+                              (k_left - s + 1) * t_local]
   return result
 
 

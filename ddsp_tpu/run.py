@@ -55,11 +55,29 @@ def build_data_provider(spec: str, n_samples: int, sample_rate: int,
                              instrument_key=instrument or 'all',
                              sample_rate=sample_rate,
                              frame_rate=frame_rate)
+  elif kind == 'nsynth':
+    # 'nsynth[:split[:data_dir]]' - the ICLR2020 NSynth experiment feed.
+    split, _, data_dir = arg.partition(':')
+    kwargs = dict(split=split or 'train',
+                  sample_rate=sample_rate, frame_rate=frame_rate)
+    if data_dir:
+      kwargs['data_dir'] = data_dir
+    return data_lib.NSynthTfds(**kwargs)
+  elif kind == 'tfds':
+    # 'tfds:<name>:<split>[:data_dir]' - any TFDS dataset with the
+    # canonical audio/f0_hz/f0_confidence/loudness_db features.
+    name, _, rest = arg.partition(':')
+    split, _, data_dir = rest.partition(':')
+    return data_lib.TfdsProvider(name, split or 'train',
+                                 data_dir=data_dir or None,
+                                 sample_rate=sample_rate,
+                                 frame_rate=frame_rate)
   else:
     raise ValueError(
         f'Unknown data spec {spec!r} '
         "(use 'synthetic[:n]', 'tfrecord:<pattern>', "
-        "'synthetic_notes[:pattern]', or 'urmp:<dir>[:inst]')")
+        "'synthetic_notes[:pattern]', 'urmp:<dir>[:inst]', "
+        "'nsynth[:split[:data_dir]]', or 'tfds:<name>:<split>')")
 
 
 def main(argv=None):

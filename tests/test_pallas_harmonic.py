@@ -49,9 +49,11 @@ class TestFusedHarmonic:
   def test_supported_shapes(self):
     assert harmonic_kernel_supported(64000, 250, 100)
     assert harmonic_kernel_supported(64000, 500, 60)
+    assert harmonic_kernel_supported(64000, 1000, 100)  # hop 64 (packed 2/row)
+    assert harmonic_kernel_supported(64000, 2000, 60)   # hop 32 (packed 4/row)
     assert not harmonic_kernel_supported(64000, 250, 200)  # >128 harmonics
     assert not harmonic_kernel_supported(64000, 251, 100)  # non-divisible
-    assert not harmonic_kernel_supported(16000, 250, 100)  # hop 64 < 128
+    assert not harmonic_kernel_supported(16000, 1000, 100)  # hop 16
 
   @pytest.mark.parametrize('method', ['window', 'linear'])
   def test_matches_jnp_forward(self, method):
@@ -60,6 +62,47 @@ class TestFusedHarmonic:
     a = np.asarray(_jnp(f0, amps, hd, n, method))
     b = np.asarray(_pallas(f0, amps, hd, n, method))
     np.testing.assert_allclose(a, b, atol=4e-3)
+
+  @pytest.mark.parametrize('method', ['window', 'linear'])
+  @pytest.mark.parametrize('hop', [32, 64])
+  def test_matches_jnp_forward_packed_hops(self, method, hop):
+    # hop < 128: multiple hops share one 128-lane row (the canonical
+    # presets' hop=64 path).
+    t = 40
+    n = t * hop
+    f0, amps, hd = _controls(t=t)
+    a = np.asarray(_jnp(f0, amps, hd, n, method))
+    b = np.asarray(_pallas(f0, amps, hd, n, method))
+    np.testing.assert_allclose(a, b, atol=4e-3)
+
+  @pytest.mark.parametrize('hop', [32, 64])
+  def test_matches_jnp_gradients_packed_hops(self, hop):
+    t = 24
+    n = t * hop
+    f0, amps, hd = _controls(t=t)
+    ga = jax.grad(lambda a, h, f: jnp.mean(_jnp(f, a, h, n)**2),
+                  argnums=(0, 1, 2))(amps, hd, f0)
+    gb = jax.grad(lambda a, h, f: jnp.mean(_pallas(f, a, h, n)**2),
+                  argnums=(0, 1, 2))(amps, hd, f0)
+    for da, db in zip(ga, gb):
+      da, db = np.asarray(da), np.asarray(db)
+      scale = np.abs(da).max() + 1e-12
+      np.testing.assert_allclose(da / scale, db / scale, atol=5e-3)
+
+  def test_packed_hops_odd_frame_count(self):
+    # 33 frames at hop 64: rows = ceil(33/2) = 17, exercises both the
+    # partial final row (one real hop + one padded hop) and row padding.
+    t, hop = 33, 64
+    n = t * hop
+    f0, amps, hd = _controls(t=t, h=12)
+    a = np.asarray(_jnp(f0, amps, hd, n))
+    b = np.asarray(_pallas(f0, amps, hd, n))
+    np.testing.assert_allclose(a, b, atol=4e-3)
+    ga = jax.grad(lambda h: jnp.sum(_jnp(f0, amps, h, n)**2))(hd)
+    gb = jax.grad(lambda h: jnp.sum(_pallas(f0, amps, h, n)**2))(hd)
+    scale = np.abs(np.asarray(ga)).max() + 1e-12
+    np.testing.assert_allclose(np.asarray(ga) / scale,
+                               np.asarray(gb) / scale, atol=5e-3)
 
   def test_matches_jnp_gradients(self):
     n = 4096

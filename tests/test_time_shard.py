@@ -109,6 +109,38 @@ def test_sharded_fft_convolve_matches_single_device(n_shards, n_ir_frames,
   np.testing.assert_allclose(sharded, single, atol=2e-4)
 
 
+def test_sharded_fft_convolve_delay_spans_shards():
+  """The canonical 48000-tap reverb IR at 8 shards: the group delay
+  (~24000) spans 3 shard lengths (8000), so the left-halo ring must run
+  multiple steps. Values and gradients must match single-device."""
+  rng = np.random.RandomState(7)
+  batch, t, ir_size = 1, 64000, 48000
+  audio = rng.randn(batch, t).astype(np.float32)
+  ir = (rng.randn(batch, 1, ir_size) *
+        np.exp(-np.arange(ir_size) / 4000.0) * 0.3).astype(np.float32)
+  mesh = time_mesh(8)
+
+  single = np.asarray(ops.fft_convolve(audio, ir, padding='same',
+                                       delay_compensation=-1))
+  sharded = np.asarray(time_shard.time_sharded_fft_convolve(
+      mesh, audio, ir, delay_compensation=-1))
+  np.testing.assert_allclose(sharded, single, atol=5e-4)
+
+  def loss_single(audio, ir):
+    return jnp.mean(ops.fft_convolve(audio, ir, padding='same')**2)
+
+  def loss_sharded(audio, ir):
+    return jnp.mean(
+        time_shard.time_sharded_fft_convolve(mesh, audio, ir)**2)
+
+  g_single = jax.grad(loss_single, argnums=(0, 1))(audio, ir)
+  g_sharded = jax.grad(loss_sharded, argnums=(0, 1))(audio, ir)
+  for gs, gd in zip(g_single, g_sharded):
+    scale = np.abs(np.asarray(gs)).max() + 1e-12
+    np.testing.assert_allclose(np.asarray(gd) / scale,
+                               np.asarray(gs) / scale, atol=1e-4)
+
+
 def test_sharded_fft_convolve_zero_delay_compensation():
   """delay_compensation=0 (the Reverb setting) also matches."""
   rng = np.random.RandomState(4)
