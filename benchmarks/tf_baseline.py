@@ -156,18 +156,168 @@ def bench_chain(batch_size=16, iters=3):
               batch_size=batch_size, n_samples=N_SAMPLES)
 
 
+def bench_harmonic_forward(iters=3):
+  """Workload 1: Harmonic synth forward, batch 1 (reference synths.py:56)."""
+  rng = np.random.RandomState(0)
+  amps = tf.constant(rng.randn(1, N_FRAMES, 1), tf.float32)
+  hd = tf.constant(rng.randn(1, N_FRAMES, N_HARMONICS), tf.float32)
+  f0 = tf.constant(200 + 100 * rng.rand(1, N_FRAMES, 1), tf.float32)
+
+  @tf.function
+  def fwd():
+    return harmonic_synthesis(f0, exp_sigmoid(amps), exp_sigmoid(hd))
+
+  _ = fwd()
+  t0 = time.time()
+  for _ in range(iters):
+    out = fwd()
+  _ = float(tf.reduce_sum(out))
+  dt = (time.time() - t0) / iters
+  return dict(seconds_per_step=dt, audio_samples_per_s=N_SAMPLES / dt)
+
+
+def bench_filtered_noise(iters=3):
+  """Workload 2: FilteredNoise (65-band FIR on noise), batch 8
+  (reference synths.py:150 = frequency_filter, core.py:1628)."""
+  rng = np.random.RandomState(0)
+  batch = 8
+  audio = tf.constant(rng.randn(batch, N_SAMPLES) * 0.1, tf.float32)
+  mags = tf.constant(rng.rand(batch, N_FRAMES, N_NOISE_MAGS), tf.float32)
+
+  @tf.function
+  def fwd():
+    ir = frequency_impulse_response(exp_sigmoid(mags), 257)
+    return fft_convolve(audio, ir)
+
+  _ = fwd()
+  t0 = time.time()
+  for _ in range(iters):
+    out = fwd()
+  _ = float(tf.reduce_sum(out))
+  dt = (time.time() - t0) / iters
+  return dict(seconds_per_step=dt,
+              audio_samples_per_s=batch * N_SAMPLES / dt)
+
+
+def _spectral_loss(target, audio):
+  """Reference SpectralLoss: 6 fft sizes, mag + logmag L1 (losses.py:132)."""
+  loss = 0.0
+  for size in (2048, 1024, 512, 256, 128, 64):
+    hop = int(size * 0.25)
+    tmag = tf.abs(tf.signal.stft(target, size, hop, size, pad_end=True))
+    amag = tf.abs(tf.signal.stft(audio, size, hop, size, pad_end=True))
+    loss += tf.reduce_mean(tf.abs(tmag - amag))
+    loss += tf.reduce_mean(tf.abs(
+        tf.math.log(tmag + 1e-5) - tf.math.log(amag + 1e-5)))
+  return loss
+
+
+def _build_rnn_fc_decoder(ch=512, layers_per_stack=3, rnn_ch=512):
+  """Keras replica of the reference RnnFcDecoder (decoders.py:27):
+  per-input FcStack -> concat -> GRU -> concat -> FcStack -> dense heads."""
+  def fc_stack():
+    layers = []
+    for _ in range(layers_per_stack):
+      layers += [tf.keras.layers.Dense(ch),
+                 tf.keras.layers.LayerNormalization(),
+                 tf.keras.layers.LeakyReLU()]
+    return tf.keras.Sequential(layers)
+
+  f0_stack, ld_stack, out_stack = fc_stack(), fc_stack(), fc_stack()
+  gru = tf.keras.layers.GRU(rnn_ch, return_sequences=True)
+  head = tf.keras.layers.Dense(1 + N_HARMONICS + N_NOISE_MAGS)
+
+  def call(f0_scaled, ld_scaled):
+    inputs = [f0_stack(f0_scaled), ld_stack(ld_scaled)]
+    x = gru(tf.concat(inputs, axis=-1))
+    x = out_stack(tf.concat(inputs + [x], axis=-1))
+    y = head(x)
+    return (y[..., :1], y[..., 1:1 + N_HARMONICS],
+            y[..., 1 + N_HARMONICS:])
+
+  modules = [f0_stack, ld_stack, gru, out_stack, head]
+  return call, modules
+
+
+def bench_train_step(batch_size=4, iters=2):
+  """Workload 4/5 shape: full solo_instrument train step (preprocessor ->
+  RnnFcDecoder -> harmonic+noise+reverb chain -> 6-size spectral loss ->
+  Adam), matching run_all.py's train_steps benchmarks."""
+  rng = np.random.RandomState(0)
+  n_frames = 1000  # canonical time_steps (reference gin/models/ae.gin:15)
+  f0_scaled = tf.constant(rng.rand(batch_size, n_frames, 1), tf.float32)
+  ld_scaled = tf.constant(rng.rand(batch_size, n_frames, 1), tf.float32)
+  f0_hz = tf.constant(200 + 100 * rng.rand(batch_size, n_frames, 1),
+                      tf.float32)
+  target = tf.constant(rng.randn(batch_size, N_SAMPLES) * 0.1, tf.float32)
+  noise = tf.constant(rng.uniform(-1, 1, (batch_size, N_SAMPLES)),
+                      tf.float32)
+  reverb_ir = tf.Variable(rng.randn(REVERB_LEN).astype(np.float32) * 1e-6)
+
+  decoder, modules = _build_rnn_fc_decoder()
+  # Build variables.
+  decoder(f0_scaled, ld_scaled)
+  variables = sum([m.trainable_variables for m in modules], []) + [reverb_ir]
+  opt = tf.keras.optimizers.Adam(3e-4)
+
+  def harmonic_synthesis_hop(f0, amps, hd):
+    # hop 64: window upsample of 1000 frames to 64000 samples.
+    ratios = tf.linspace(1.0, float(N_HARMONICS),
+                         N_HARMONICS)[tf.newaxis, tf.newaxis, :]
+    harm_freqs = f0 * ratios
+    hd = tf.where(harm_freqs >= SR / 2.0, tf.zeros_like(hd), hd)
+    hd = hd / (tf.reduce_sum(hd, axis=-1, keepdims=True) + 1e-7)
+    freq_env = resample_linear(harm_freqs, N_SAMPLES)
+    amp_env = upsample_with_windows(amps * hd, N_SAMPLES)
+    return oscillator_bank(freq_env, amp_env)
+
+  @tf.function
+  def step():
+    with tf.GradientTape() as tape:
+      amps, hd, noise_mags = decoder(f0_scaled, ld_scaled)
+      harmonic = harmonic_synthesis_hop(
+          f0_hz, exp_sigmoid(amps), exp_sigmoid(hd))
+      ir = frequency_impulse_response(exp_sigmoid(noise_mags - 5.0), 257)
+      noise_sig = fft_convolve(noise, ir)
+      mixed = harmonic + noise_sig
+      rev_ir = tf.tile(reverb_ir[tf.newaxis, tf.newaxis, :],
+                       [batch_size, 1, 1])
+      out = fft_convolve(mixed, rev_ir) + mixed
+      loss = _spectral_loss(target, out)
+    grads = tape.gradient(loss, variables)
+    opt.apply_gradients(zip(grads, variables))
+    return loss
+
+  _ = step()  # trace + compile
+  t0 = time.time()
+  for _ in range(iters):
+    loss = step()
+  _ = float(loss)
+  dt = (time.time() - t0) / iters
+  return dict(seconds_per_step=dt, steps_per_s=1.0 / dt,
+              audio_samples_per_s=batch_size * N_SAMPLES / dt,
+              batch_size=batch_size)
+
+
 def main():
   parser = argparse.ArgumentParser()
   parser.add_argument('--iters', type=int, default=3)
+  parser.add_argument('--skip_batch64', action='store_true',
+                      help='Skip the slow batch-64 train-step baseline')
   args = parser.parse_args()
 
   tf.config.set_visible_devices([], 'GPU')
   result = {
-      'description': 'reference-equivalent TF ops on CPU, '
-                     'harmonic+noise+reverb chain fwd+grad',
+      'description': 'reference-equivalent TF ops on CPU '
+                     '(BASELINE.md workloads)',
       'hardware': 'CPU (%d threads)' % os.cpu_count(),
+      'harmonic_forward_batch1': bench_harmonic_forward(args.iters),
+      'filtered_noise_batch8': bench_filtered_noise(args.iters),
       'chain_fwd_grad_batch16': bench_chain(16, args.iters),
+      'train_steps_batch4': bench_train_step(4, max(1, args.iters // 2)),
   }
+  if not args.skip_batch64:
+    result['train_steps_batch64_tpu_canonical'] = bench_train_step(64, 1)
   out_path = os.path.join(os.path.dirname(__file__),
                           'baseline_measurements.json')
   with open(out_path, 'w') as f:

@@ -2,6 +2,8 @@
 
 from ddsp_tpu.data.providers import ArrayDataProvider  # noqa: F401
 from ddsp_tpu.data.providers import DataProvider  # noqa: F401
+from ddsp_tpu.data.providers import ExperimentalDataProvider  # noqa: F401
+from ddsp_tpu.data.providers import LegacyTFRecordProvider  # noqa: F401
 from ddsp_tpu.data.providers import SyntheticSinusoidProvider  # noqa: F401
 from ddsp_tpu.data.providers import TFRecordProvider  # noqa: F401
 from ddsp_tpu.data.tfds import NSynthTfds  # noqa: F401

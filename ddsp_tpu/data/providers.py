@@ -172,6 +172,7 @@ class TFRecordProvider(DataProvider):
     self.n_frames = (self.n_samples // hop + 1 if centered
                      else self.n_samples // hop)
     self._rng = np.random.RandomState(seed)
+    self._include_audio_16k = True
 
   def get_dataset(self, shuffle: bool = True, shuffle_buffer: int = 1024):
     from ddsp_tpu.data import tfrecord  # pylint: disable=g-import-not-at-top
@@ -180,12 +181,17 @@ class TFRecordProvider(DataProvider):
       self._rng.shuffle(files)
 
     def parse(example):
-      return {
+      out = {
           'audio': example['audio'].astype(np.float32),
           'f0_hz': example['f0_hz'].astype(np.float32),
           'f0_confidence': example['f0_confidence'].astype(np.float32),
           'loudness_db': example['loudness_db'].astype(np.float32),
       }
+      # The reference's modern records carry a 16 kHz copy for CREPE
+      # (reference data.py:244-246); pass it through when present.
+      if self._include_audio_16k and 'audio_16k' in example:
+        out['audio_16k'] = example['audio_16k'].astype(np.float32)
+      return out
 
     if not shuffle:
       for path in files:
@@ -207,3 +213,44 @@ class TFRecordProvider(DataProvider):
     self._rng.shuffle(buffer)
     for example in buffer:
       yield parse(example)
+
+
+class LegacyTFRecordProvider(TFRecordProvider):
+  """Old-schema TFRecords without the 16 kHz audio copy.
+
+  Reference data.py:274 (`LegacyTFRecordProvider`): identical to
+  TFRecordProvider but the records carry only
+  audio/f0_hz/f0_confidence/loudness_db.
+  """
+
+  def __init__(self, *args, **kwargs):
+    super().__init__(*args, **kwargs)
+    self._include_audio_16k = False
+
+
+class ExperimentalDataProvider(DataProvider):
+  """Reads datasets saved with tf.data.Dataset.save().
+
+  Reference data.py:82 (`ExperimentalDataProvider`, the
+  tf.data.experimental.save/load interface). The snapshot format is
+  TensorFlow-internal, so this provider requires the `tensorflow` package
+  (import gated: constructing is safe, iterating raises a clear error
+  without TF) and iterates the loaded dataset as numpy.
+  """
+
+  def __init__(self, data_dir: str, sample_rate: int = 16000,
+               frame_rate: int = 250):
+    super().__init__(sample_rate, frame_rate)
+    self.data_dir = data_dir
+
+  def get_dataset(self, shuffle: bool = True):
+    del shuffle  # Element order comes from the saved snapshot.
+    try:
+      import tensorflow as tf  # pylint: disable=g-import-not-at-top
+    except ImportError as e:
+      raise ImportError(
+          'ExperimentalDataProvider reads tf.data snapshot directories '
+          'and requires the `tensorflow` package.') from e
+    ds = tf.data.Dataset.load(self.data_dir)
+    for example in ds.as_numpy_iterator():
+      yield example

@@ -38,7 +38,7 @@ f32 = jnp_float32
 
 
 def make_iterable(x: Any) -> Sequence[Any]:
-  """Wrap in a list if not iterable, return empty list if None."""
+  """Coerce x to a list: None -> [], scalars/strings -> [x], iterables -> list(x)."""
   if x is None:
     return []
   if isinstance(x, (np.ndarray, jax.Array)):
@@ -54,7 +54,7 @@ def make_iterable(x: Any) -> Sequence[Any]:
 
 
 def to_dict(x: Any, keys: Sequence[str]) -> Dict[str, Any]:
-  """Convert a list of outputs to a dict with the supplied keys."""
+  """Zip output values with their key names into a dict (length-checked)."""
   if isinstance(x, dict):
     return x
   x = make_iterable(x)
@@ -66,7 +66,7 @@ def to_dict(x: Any, keys: Sequence[str]) -> Dict[str, Any]:
 def nested_keys(nested_dict: Dict[str, Any],
                 delimiter: str = '/',
                 prefix: str = '') -> List[str]:
-  """Flattened list of nested key strings of a nested dict."""
+  """All leaf paths of a nested dict as 'a/b/c' strings."""
   keys = []
   for k, v in nested_dict.items():
     key = k if not prefix else f'{prefix}{delimiter}{k}'
@@ -80,7 +80,7 @@ def nested_keys(nested_dict: Dict[str, Any],
 def nested_lookup(nested_key: str,
                   nested_dict: Dict[str, Any],
                   delimiter: str = '/') -> Any:
-  """Return the value of a nested dict for a 'key/key/key' string."""
+  """Look up a slash-separated path ('a/b/c') in a nested dict."""
   keys = nested_key.split(delimiter)
   value = nested_dict
   for key in keys:
@@ -95,17 +95,17 @@ def nested_lookup(nested_key: str,
 
 
 def leaf_key(nested_key: str, delimiter: str = '/') -> str:
-  """Return the leaf node key name of a 'key/key/key' string."""
+  """Last component of a slash-separated key path."""
   return nested_key.split(delimiter)[-1]
 
 
 def map_shape(x: Dict[str, Any]) -> Dict[str, Any]:
-  """Recursively infer array shapes for a (nested) dictionary of arrays."""
+  """Shape of every array leaf in a (nested) dict, as lists."""
   return jax.tree_util.tree_map(lambda t: list(jnp.shape(t)), x)
 
 
 def pad_axis(x: Array, padding=(0, 0), axis: int = 0, **pad_kwargs) -> Array:
-  """Pad only one axis of an array."""
+  """jnp.pad restricted to a single axis."""
   n_end_dims = x.ndim - axis - 1
   n_end_dims *= n_end_dims > 0
   paddings = [(0, 0)] * axis + [tuple(padding)] + [(0, 0)] * n_end_dims
@@ -113,7 +113,7 @@ def pad_axis(x: Array, padding=(0, 0), axis: int = 0, **pad_kwargs) -> Array:
 
 
 def diff(x: Array, axis: int = -1) -> Array:
-  """Take the finite difference of an array along an axis."""
+  """First-order difference x[i+1] - x[i] along an axis (length shrinks by 1)."""
   ndim = x.ndim
   if axis >= ndim:
     raise ValueError(f'Invalid axis index: {axis} for tensor with only '
@@ -128,47 +128,47 @@ def diff(x: Array, axis: int = -1) -> Array:
 # Math
 # ---------------------------------------------------------------------------
 def nan_to_num(x: Array, value: float = 0.0) -> Array:
-  """Replace NaNs with value."""
+  """Substitute a fixed value wherever x is NaN."""
   return jnp.where(jnp.isnan(x), jnp.full_like(x, value), x)
 
 
 def safe_divide(numerator: Array, denominator: Array, eps: float = 1e-7):
-  """Avoid dividing by zero by replacing zero denominators with eps."""
+  """Division that swaps exact-zero denominators for eps first."""
   safe_denominator = jnp.where(denominator == 0.0, eps, denominator)
   return numerator / safe_denominator
 
 
 def safe_log(x: Array, eps: float = 1e-5) -> Array:
-  """Avoid taking the log of a non-positive number."""
+  """log(x) with non-positive inputs clamped to eps beforehand."""
   safe_x = jnp.where(x <= 0.0, eps, x)
   return jnp.log(safe_x)
 
 
 def logb(x: Array, base: float = 2.0, eps: float = 1e-5) -> Array:
-  """Logarithm with base as an argument."""
+  """log_base(x) via the ratio of two safe_logs."""
   return safe_divide(safe_log(x, eps), safe_log(jnp_float32(base), eps), eps)
 
 
 def log10(x: Array, eps: float = 1e-5) -> Array:
-  """Logarithm with base 10."""
+  """Base-10 logarithm (safe at zero)."""
   return logb(x, base=10.0, eps=eps)
 
 
 def log_scale(x: Array, min_x: float, max_x: float) -> Array:
-  """Scales a -1 to 1 value logarithmically between min and max."""
+  """Map [-1, 1] onto [min_x, max_x] with geometric (log-domain) spacing."""
   x = jnp_float32(x)
   x = (x + 1.0) / 2.0  # Scale [-1, 1] to [0, 1].
   return jnp.exp((1.0 - x) * np.log(min_x) + x * np.log(max_x))
 
 
 def soft_limit(x: Array, x_min: float = 0.0, x_max: float = 1.0) -> Array:
-  """Softly limits inputs to the range [x_min, x_max]."""
+  """Smooth double-softplus saturation onto [x_min, x_max]."""
   return jax.nn.softplus(x) + x_min - jax.nn.softplus(x - (x_max - x_min))
 
 
 @jax.custom_vjp
 def gradient_reversal(x: Array) -> Array:
-  """Identity operation that reverses the gradient."""
+  """Forward identity whose VJP negates the cotangent (adversarial branches)."""
   return x
 
 

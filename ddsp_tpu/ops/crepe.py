@@ -205,6 +205,13 @@ class PretrainedCrepe:
       self.variables = load_weights_from_h5(weights_path, model_capacity)
       self.pretrained = True
     else:
+      import logging  # pylint: disable=g-import-not-at-top
+      logging.warning(
+          'PretrainedCrepe(%s): no pretrained weights found (weights_path '
+          'not given and $CREPE_WEIGHTS_DIR has no model-%s.h5). Running '
+          'with RANDOM weights - pitch predictions are garbage; only '
+          'plumbing/shape tests are meaningful.', model_capacity,
+          model_capacity)
       dummy = jnp.zeros((1, self.frame_size))
       self.variables = self.model.init(jax.random.PRNGKey(0), dummy)
       self.pretrained = False

@@ -226,8 +226,13 @@ def _filter_design_matrices(n_freqs: int, window_size: int, fft_size: int):
   """
   from ddsp_tpu.ops import fftconv  # pylint: disable=g-import-not-at-top
   eye = np.eye(n_freqs, dtype=np.float32)
-  ir = np.asarray(fftconv.apply_window_to_impulse_response(
-      np.fft.irfft(eye, axis=-1).astype(np.float32), window_size))
+  # ensure_compile_time_eval: this builder may first be reached while
+  # tracing a jit'd step (omnistaging would otherwise stage the windowing
+  # ops and make the np.asarray below fail on a tracer); the matrices are
+  # shape-only constants, so force eager evaluation and cache them.
+  with jax.ensure_compile_time_eval():
+    ir = np.asarray(fftconv.apply_window_to_impulse_response(
+        np.fft.irfft(eye, axis=-1).astype(np.float32), window_size))
   assert ir.shape[-1] == fftconv.designed_ir_size(n_freqs, window_size), (
       ir.shape, n_freqs, window_size)
   spec = np.fft.rfft(ir, fft_size, axis=-1)

@@ -35,19 +35,23 @@ Array = jax.Array
 
 
 def angular_cumsum(angular_frequency: Array, chunk_size: int = 1000) -> Array:
-  """Get phase by cumulative summation of angular frequency.
+  """Accumulate phase with a chunked, wrap-around-carrying cumsum.
 
-  Chunks the time axis to avoid accumulation error: cumsum within each chunk,
-  take mod 2pi, then add the cumulative mod-2pi carries of previous chunks.
-  Since sin(phase) only depends on phase mod 2pi, the result is equivalent to
-  a plain cumsum but with bounded float32 error for long signals.
+  A single float32 cumsum over a long signal accumulates rounding error that
+  becomes audible pitch drift. Splitting the time axis into fixed chunks,
+  summing within each chunk, and threading a mod-2*pi carry between chunks
+  keeps every partial sum small. Because only phase mod 2*pi matters to a
+  sinusoid, wrapping the carries changes nothing mathematically - it just
+  keeps the floats in a well-conditioned range. (This same chunk/carry
+  decomposition is what ddsp_tpu.parallel.time_shard lifts onto the device
+  mesh.)
 
   Args:
-    angular_frequency: Radians per sample. Shape [batch, time, ...].
-    chunk_size: Number of samples per chunk.
+    angular_frequency: Radians per sample, [batch, time, ...].
+    chunk_size: Samples per chunk.
 
   Returns:
-    The accumulated phase in range [0, 2*pi], shape [batch, time, ...].
+    Wrapped accumulated phase in [0, 2*pi], same shape as the input.
   """
   n_batch = angular_frequency.shape[0]
   n_time = angular_frequency.shape[1]
@@ -66,12 +70,12 @@ def angular_cumsum(angular_frequency: Array, chunk_size: int = 1000) -> Array:
       (n_batch, n_chunks, chunk_size) + angular_frequency.shape[2:])
   phase = jnp.cumsum(chunks, axis=2)
 
-  # Offset of the next chunk is the last entry of the previous chunk.
+  # Each chunk starts where the previous one ended: take every chunk's
+  # final phase (wrapped), shift right by one chunk, and prefix-sum those
+  # carries so chunk k receives the wrapped total of chunks 0..k-1.
   offsets = phase[:, :, -1:, ...] % (2.0 * np.pi)
   offsets = pad_axis(offsets, (1, 0), axis=1)
   offsets = offsets[:, :-1, ...]
-
-  # Offset is cumulative among chunks.
   offsets = jnp.cumsum(offsets, axis=1) % (2.0 * np.pi)
   phase = phase + offsets
 
@@ -86,17 +90,20 @@ def angular_cumsum(angular_frequency: Array, chunk_size: int = 1000) -> Array:
 def remove_above_nyquist(frequency_envelopes: Array,
                          amplitude_envelopes: Array,
                          sample_rate: int = 16000) -> Array:
-  """Set amplitudes for oscillators above nyquist to 0.
+  """Zero out any oscillator whose frequency exceeds the nyquist limit.
+
+  Frequencies at or above sample_rate / 2 would alias; silencing them (as
+  the reference does, core.py:869) rather than clipping keeps the op
+  differentiable w.r.t. the amplitudes.
 
   Args:
-    frequency_envelopes: Sample-wise oscillator frequencies (Hz).
-      Shape [batch_size, n_samples, n_sinusoids].
-    amplitude_envelopes: Sample-wise oscillator amplitudes.
-      Shape [batch_size, n_samples, n_sinusoids].
-    sample_rate: Sample rate in samples per second.
+    frequency_envelopes: Per-sample oscillator frequencies in Hz,
+      [batch, n_samples, n_sinusoids].
+    amplitude_envelopes: Per-sample amplitudes, same shape.
+    sample_rate: Audio sample rate in Hz.
 
   Returns:
-    Sample-wise filtered oscillator amplitudes.
+    Amplitudes with the aliasing oscillators muted, same shape.
   """
   frequency_envelopes = jnp_float32(frequency_envelopes)
   amplitude_envelopes = jnp_float32(amplitude_envelopes)
@@ -125,22 +132,26 @@ def oscillator_bank(frequency_envelopes: Array,
                     sample_rate: int = 16000,
                     sum_sinusoids: bool = True,
                     use_angular_cumsum: bool = False) -> Array:
-  """Generate audio from sample-wise frequencies for a bank of oscillators.
+  """Additive synthesis: integrate frequencies to phase, sum sinusoids.
+
+  The core additive-synth primitive (reference core.py:912): each of the
+  n_sinusoids channels carries its own instantaneous frequency and
+  amplitude per sample; audio is amp * sin(cumsum(2*pi*f/sr)), optionally
+  summed over the sinusoid axis.
 
   Args:
-    frequency_envelopes: Sample-wise oscillator frequencies (Hz).
-      Shape [batch_size, n_samples, n_sinusoids].
-    amplitude_envelopes: Sample-wise oscillator amplitudes.
-      Shape [batch_size, n_samples, n_sinusoids].
-    sample_rate: Sample rate in samples per second.
-    sum_sinusoids: Add up audio from all the sinusoids.
-    use_angular_cumsum: Use chunked angular cumulative sum to bound float32
-      phase error. Recommended for generation of examples longer than ~100k
-      samples, not needed for training-length signals.
+    frequency_envelopes: Per-sample frequencies in Hz,
+      [batch, n_samples, n_sinusoids].
+    amplitude_envelopes: Per-sample amplitudes, same shape.
+    sample_rate: Audio sample rate in Hz.
+    sum_sinusoids: Reduce over the sinusoid axis before returning.
+    use_angular_cumsum: Accumulate phase with the chunk/carry scheme
+      (bounded float32 error; worth it past ~100k samples, unnecessary at
+      training lengths).
 
   Returns:
-    wav: Sample-wise audio. Shape [batch_size, n_samples, n_sinusoids] if
-      sum_sinusoids=False, else [batch_size, n_samples].
+    Audio, [batch, n_samples] when summed, else
+    [batch, n_samples, n_sinusoids].
   """
   frequency_envelopes = jnp_float32(frequency_envelopes)
   amplitude_envelopes = jnp_float32(amplitude_envelopes)
@@ -218,14 +229,14 @@ def harmonic_oscillator_bank(
 
 
 def get_harmonic_frequencies(frequencies: Array, n_harmonics: int) -> Array:
-  """Create integer multiples of the fundamental frequency.
+  """Expand an f0 track into its first n integer harmonics (f, 2f, .., nf).
 
   Args:
-    frequencies: Fundamental frequencies (Hz). Shape [batch_size, :, 1].
-    n_harmonics: Number of harmonics.
+    frequencies: Fundamental frequency in Hz, [batch, time, 1].
+    n_harmonics: How many multiples to produce.
 
   Returns:
-    harmonic_frequencies: Shape [batch_size, :, n_harmonics].
+    [batch, time, n_harmonics] harmonic frequencies.
   """
   frequencies = jnp_float32(frequencies)
   f_ratios = jnp.linspace(1.0, float(n_harmonics), int(n_harmonics))
@@ -243,24 +254,26 @@ def harmonic_synthesis(frequencies: Array,
                        use_angular_cumsum: bool = False,
                        factored_phase: bool = True,
                        use_pallas: Optional[bool] = None) -> Array:
-  """Generate audio from frame-wise monophonic harmonic oscillator bank.
+  """Render audio from frame-rate harmonic controls (the training synth).
+
+  Takes an f0 track plus per-frame amplitude/harmonic-distribution
+  controls, upsamples them to audio rate, and runs the oscillator bank over
+  the harmonic stack (reference core.py:1048 semantics).
 
   Args:
-    frequencies: Frame-wise fundamental frequency in Hz.
-      Shape [batch_size, n_frames, 1].
-    amplitudes: Frame-wise oscillator peak amplitude.
-      Shape [batch_size, n_frames, 1].
-    harmonic_shifts: Harmonic frequency variations (Hz), zero-centered. Total
-      frequency of a harmonic is frequencies * harmonic_number *
-      (1 + harmonic_shifts). Shape [batch_size, n_frames, n_harmonics].
-    harmonic_distribution: Harmonic amplitude variations, ranged zero to one.
-      Total amplitude of a harmonic is amplitudes * harmonic_distribution.
-      Shape [batch_size, n_frames, n_harmonics].
-    n_samples: Total length of output audio.
-    sample_rate: Sample rate.
-    amp_resample_method: Mode to resample amplitude envelopes with.
-    use_angular_cumsum: Use angular cumsum on accumulating phase instead of a
-      plain cumsum. More accurate for long-form inference.
+    frequencies: Frame-rate fundamental in Hz, [batch, n_frames, 1].
+    amplitudes: Frame-rate overall amplitude, [batch, n_frames, 1].
+    harmonic_shifts: Optional per-harmonic detuning, zero-centered; harmonic
+      h sounds at f0 * h * (1 + shift_h). [batch, n_frames, n_harmonics].
+    harmonic_distribution: Optional per-harmonic amplitude weights in
+      [0, 1]; harmonic h's amplitude is amplitudes * weight_h.
+      [batch, n_frames, n_harmonics].
+    n_samples: Output audio length.
+    sample_rate: Audio sample rate in Hz.
+    amp_resample_method: Interpolation used to upsample the amplitude
+      controls ('window', 'linear', 'cubic', 'nearest').
+    use_angular_cumsum: Accumulate phase with the chunk/carry scheme (for
+      long-form inference accuracy).
     factored_phase: When harmonic_shifts is None, accumulate only the
       fundamental phase and multiply by harmonic ratios (TPU fast path, O(T)
       scan instead of O(T*H)). Equal to the unfactored path within float32
@@ -271,7 +284,7 @@ def harmonic_synthesis(frequencies: Array,
       pallas_kernels.harmonic_kernel_supported).
 
   Returns:
-    audio: Output audio. Shape [batch_size, n_samples].
+    audio: [batch, n_samples].
   """
   frequencies = jnp_float32(frequencies)
   amplitudes = jnp_float32(amplitudes)

@@ -127,8 +127,26 @@ def _tap_weights(hop: int, p: int, w: int, method: str) -> np.ndarray:
   return rf
 
 
+def _load_taps(taps_ref, n_taps, k, i, resident):
+  """The n_taps per-row amplitude frames for this row block, [K, LANES] each.
+
+  resident (P == 1): taps_ref is the full endpoint-extended frame array
+  [1, n_frames_ext, LANES], constant across grid steps (stays in VMEM);
+  taps j / j+1 are overlapping row windows - no precomputed copies.
+  streamed (P > 1): taps_ref is the pre-gathered [1, n_taps, K, LANES]
+  block (frames P*r + j interleave with stride P, which Mosaic can't
+  slice from a resident array directly).
+  """
+  import jax.experimental.pallas as pl  # pylint: disable=g-import-not-at-top
+  if resident:
+    blk = taps_ref[0, pl.ds(i * k, k + 1), :]             # [K+1, LANES]
+    return [blk[:k, :], blk[1:, :]]
+  return [taps_ref[0, j, :, :] for j in range(n_taps)]
+
+
 def _fwd_kernel(phase_ref, f0_ref, taps_ref, rf_ref, out_ref, *,
-                nyquist: float, n_harmonics: int, n_taps: int):
+                nyquist: float, n_harmonics: int, n_taps: int,
+                resident: bool):
   """One (batch, row-block): fused interp + mask + synth + reduce.
 
   Instead of 128-lane sin evaluations per sample, harmonics are generated
@@ -137,12 +155,14 @@ def _fwd_kernel(phase_ref, f0_ref, taps_ref, rf_ref, out_ref, *,
   the VPU. The harmonic loop is unrolled with static lane indices (no
   dynamic lane slicing).
 
-  phase_ref/f0_ref/out_ref: [1, K, W]; taps_ref: [1, n_taps, K, LANES]
-  (harmonics on lanes); rf_ref: [n_taps, W] lane weights.
+  phase_ref/f0_ref/out_ref: [1, K, W]; taps_ref: see _load_taps;
+  rf_ref: [n_taps, W] lane weights.
   """
+  import jax.experimental.pallas as pl  # pylint: disable=g-import-not-at-top
   phase = phase_ref[0, :, :]                              # [K, W]
   f0 = f0_ref[0, :, :]
-  tap_amps = [taps_ref[0, j, :, :] for j in range(n_taps)]  # [K, LANES] each
+  tap_amps = _load_taps(taps_ref, n_taps, phase.shape[0],
+                        pl.program_id(1), resident)
 
   s_curr = jnp.sin(phase)
   two_c1 = 2.0 * jnp.cos(phase)
@@ -165,16 +185,18 @@ def _fwd_kernel(phase_ref, f0_ref, taps_ref, rf_ref, out_ref, *,
 
 def _bwd_kernel(phase_ref, f0_ref, taps_ref, rf_ref, g_ref,
                 dphase_ref, dtaps_ref, *, nyquist: float,
-                n_harmonics: int, n_taps: int):
+                n_harmonics: int, n_taps: int, resident: bool):
   """Fused backward via the same sin/cos recurrences.
 
   dphase[s] = g[s] * sum_h A_h[s] * h * cos(h p_s) * mask
   dtaps[j, k, h] = sum_l rf[j, l] * g[k, l] * mask * sin(h p)
   """
+  import jax.experimental.pallas as pl  # pylint: disable=g-import-not-at-top
   phase = phase_ref[0, :, :]
   f0 = f0_ref[0, :, :]
   g = g_ref[0, :, :]
-  tap_amps = [taps_ref[0, j, :, :] for j in range(n_taps)]
+  tap_amps = _load_taps(taps_ref, n_taps, phase.shape[0],
+                        pl.program_id(1), resident)
 
   s_curr = jnp.sin(phase)
   c_curr = jnp.cos(phase)
@@ -215,9 +237,20 @@ def _bwd_kernel(phase_ref, f0_ref, taps_ref, rf_ref, g_ref,
     dtaps_ref[0, j, :, :] = jnp.concatenate(cols[j] + zeros, axis=1)
 
 
+def _taps_spec(taps, n_taps, block_rows, resident):
+  from jax.experimental import pallas as pl
+  if resident:
+    # Full frame array, constant index map: fetched once per batch row and
+    # kept resident in VMEM across that row's grid steps.
+    return pl.BlockSpec((1, taps.shape[1], _LANES), lambda b, i: (b, 0, 0))
+  return pl.BlockSpec((1, n_taps, block_rows, _LANES),
+                      lambda b, i: (b, 0, i, 0))
+
+
 def _pallas_fwd(phase_r, f0_r, taps, rf, *, w, nyquist, n_harmonics,
-                n_taps, block_rows, interpret):
-  """phase_r/f0_r: [B, n_rows, W]; taps: [B, n_taps, n_rows, LANES]."""
+                n_taps, block_rows, resident, interpret):
+  """phase_r/f0_r: [B, n_rows, W]; taps: resident [B, n_rows + 1, LANES]
+  or streamed [B, n_taps, n_rows, LANES]."""
   from jax.experimental import pallas as pl
 
   batch, n_rows = phase_r.shape[0], phase_r.shape[1]
@@ -226,13 +259,13 @@ def _pallas_fwd(phase_r, f0_r, taps, rf, *, w, nyquist, n_harmonics,
 
   return pl.pallas_call(
       functools.partial(_fwd_kernel, nyquist=nyquist,
-                        n_harmonics=n_harmonics, n_taps=n_taps),
+                        n_harmonics=n_harmonics, n_taps=n_taps,
+                        resident=resident),
       grid=grid,
       in_specs=[
           pl.BlockSpec((1, block_rows, w), blk3),
           pl.BlockSpec((1, block_rows, w), blk3),
-          pl.BlockSpec((1, n_taps, block_rows, _LANES),
-                       lambda b, i: (b, 0, i, 0)),
+          _taps_spec(taps, n_taps, block_rows, resident),
           pl.BlockSpec((n_taps, w), lambda b, i: (0, 0)),
       ],
       out_specs=pl.BlockSpec((1, block_rows, w), blk3),
@@ -242,7 +275,7 @@ def _pallas_fwd(phase_r, f0_r, taps, rf, *, w, nyquist, n_harmonics,
 
 
 def _pallas_bwd(phase_r, f0_r, taps, rf, g_r, *, w, nyquist, n_harmonics,
-                n_taps, block_rows, interpret):
+                n_taps, block_rows, resident, interpret):
   from jax.experimental import pallas as pl
 
   batch, n_rows = phase_r.shape[0], phase_r.shape[1]
@@ -251,13 +284,13 @@ def _pallas_bwd(phase_r, f0_r, taps, rf, g_r, *, w, nyquist, n_harmonics,
 
   return pl.pallas_call(
       functools.partial(_bwd_kernel, nyquist=nyquist,
-                        n_harmonics=n_harmonics, n_taps=n_taps),
+                        n_harmonics=n_harmonics, n_taps=n_taps,
+                        resident=resident),
       grid=grid,
       in_specs=[
           pl.BlockSpec((1, block_rows, w), blk3),
           pl.BlockSpec((1, block_rows, w), blk3),
-          pl.BlockSpec((1, n_taps, block_rows, _LANES),
-                       lambda b, i: (b, 0, i, 0)),
+          _taps_spec(taps, n_taps, block_rows, resident),
           pl.BlockSpec((n_taps, w), lambda b, i: (0, 0)),
           pl.BlockSpec((1, block_rows, w), blk3),
       ],
@@ -322,9 +355,14 @@ def _prep(phase0, f0_env, ham, method):
                             ham_ext.dtype)], axis=1)
   lane_pad = _LANES - ham.shape[-1]
   ham_pad = jnp.pad(ham_ext, ((0, 0), (0, 0), (0, lane_pad)))
-  taps = jnp.stack(
-      [ham_pad[:, j:j + p * n_rows_pad:p, :] for j in range(n_taps)],
-      axis=1)  # [B, n_taps, n_rows_pad, LANES]
+  if p == 1:
+    # Resident layout: the kernel windows taps j / j+1 out of the frame
+    # array directly (stride-1 overlapping rows), no gathered copies.
+    taps = ham_pad  # [B, n_rows_pad + 1, LANES]
+  else:
+    taps = jnp.stack(
+        [ham_pad[:, j:j + p * n_rows_pad:p, :] for j in range(n_taps)],
+        axis=1)  # [B, n_taps, n_rows_pad, LANES]
 
   rf = jnp.asarray(_tap_weights(hop, p, w, method))
   return (phase_r, f0_r, taps, rf, n_rows, n_rows_pad, hop, p, w,
@@ -334,11 +372,12 @@ def _prep(phase0, f0_env, ham, method):
 def _fused_fwd(phase0, f0_env, ham, sample_rate, method, interpret):
   (phase_r, f0_r, taps, rf, n_rows, n_rows_pad, hop, p, w,
    block_rows) = _prep(phase0, f0_env, ham, method)
-  del n_rows, hop, p
+  del n_rows, hop
   audio = _pallas_fwd(phase_r, f0_r, taps, rf, w=w,
                       nyquist=sample_rate / 2.0,
                       n_harmonics=ham.shape[-1], n_taps=rf.shape[0],
-                      block_rows=block_rows, interpret=interpret)
+                      block_rows=block_rows, resident=(p == 1),
+                      interpret=interpret)
   batch, n_samples = phase0.shape
   audio = audio.reshape(batch, n_rows_pad * w)[:, :n_samples]
   return audio, (phase0, f0_env, ham)
@@ -358,7 +397,7 @@ def _fused_bwd(sample_rate, method, interpret, residuals, g):
   dphase_r, dtaps = _pallas_bwd(
       phase_r, f0_r, taps, rf, g_r, w=w, nyquist=sample_rate / 2.0,
       n_harmonics=ham.shape[-1], n_taps=n_taps, block_rows=block_rows,
-      interpret=interpret)
+      resident=(p == 1), interpret=interpret)
 
   dphase = dphase_r.reshape(batch, n_rows_pad * w)[:, :n_samples]
   # Scatter per-(row, tap) contributions back to frames: frame P*r + j

@@ -6,6 +6,7 @@ from ddsp_tpu.parallel.mesh import replicate  # noqa: F401
 from ddsp_tpu.parallel.mesh import replicated_sharding  # noqa: F401
 from ddsp_tpu.parallel.mesh import shard_batch  # noqa: F401
 from ddsp_tpu.parallel.mesh import single_device_mesh  # noqa: F401
+from ddsp_tpu.parallel import pallas_halo  # noqa: F401
 from ddsp_tpu.parallel import time_shard  # noqa: F401
 from ddsp_tpu.parallel.time_shard import time_sharded_fft_convolve  # noqa: F401
 from ddsp_tpu.parallel.time_shard import time_sharded_harmonic_synthesis  # noqa: F401

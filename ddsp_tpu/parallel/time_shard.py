@@ -40,6 +40,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ddsp_tpu.ops import fftconv as fftconv_ops
 from ddsp_tpu.ops import oscillator as osc_ops
+from ddsp_tpu.parallel.pallas_halo import neighbor_shift
 # Note: the ops package __init__ shadows the `resample` submodule name with
 # the function of the same name; import the function directly.
 from ddsp_tpu.ops.resample import resample as resample_fn
@@ -80,7 +81,8 @@ def local_fft_convolve_same(audio_local: Array,
                             n_ir_frames: int,
                             ir_size: int,
                             delay_compensation: int = -1,
-                            axis_name: str = TIME_AXIS) -> Array:
+                            axis_name: str = TIME_AXIS,
+                            halo_impl: str = 'xla') -> Array:
   """Time-sharded LTV fft_convolve with 'same' padding.
 
   Args:
@@ -149,9 +151,8 @@ def local_fft_convolve_same(audio_local: Array,
   if tail_len:
     pad = k_steps * t_local - tail_len
     carry = jnp.pad(tail, ((0, 0), (0, pad)))
-    perm = [(i, i + 1) for i in range(n_shards - 1)]
     for _ in range(k_steps):
-      carry = jax.lax.ppermute(carry, axis_name, perm)
+      carry = neighbor_shift(carry, +1, axis_name, impl=halo_impl)
       result = result + carry[:, :t_local]
       carry = jnp.concatenate(
           [carry[:, t_local:], jnp.zeros_like(carry[:, :t_local])], axis=1)
@@ -170,9 +171,8 @@ def local_fft_convolve_same(audio_local: Array,
     # Buffer covers output positions [(i - k_left) * t_local, i * t_local);
     # the head occupies its last `delay` entries.
     carry = jnp.pad(head, ((0, 0), (k_left * t_local - delay, 0)))
-    perm_left = [(i + 1, i) for i in range(n_shards - 1)]
     for s in range(1, k_left + 1):
-      carry = jax.lax.ppermute(carry, axis_name, perm_left)
+      carry = neighbor_shift(carry, -1, axis_name, impl=halo_impl)
       result = result + carry[:, (k_left - s) * t_local:
                               (k_left - s + 1) * t_local]
   return result
@@ -261,7 +261,8 @@ def time_sharded_harmonic_synthesis(mesh: Mesh,
 def time_sharded_fft_convolve(mesh: Mesh,
                               audio: Array,
                               impulse_response: Array,
-                              delay_compensation: int = -1) -> Array:
+                              delay_compensation: int = -1,
+                              halo_impl: str = 'xla') -> Array:
   """fft_convolve(audio, ir, 'same') with audio sharded over 'time'.
 
   audio: [batch, T] sharded P(None, 'time') (or replicated host array);
@@ -274,7 +275,8 @@ def time_sharded_fft_convolve(mesh: Mesh,
       local_fft_convolve_same,
       n_ir_frames=n_ir_frames,
       ir_size=ir_size,
-      delay_compensation=delay_compensation)
+      delay_compensation=delay_compensation,
+      halo_impl=halo_impl)
   # check_vma=False: the vma type checker rejects the FFT transpose with a
   # replicated ir operand; the shard_map transpose still inserts the psum
   # for the replicated input's cotangent (verified by the gradient
@@ -292,7 +294,8 @@ def time_sharded_fft_convolve(mesh: Mesh,
 def local_stft_mag(audio_local: Array,
                    size: int,
                    overlap: float = 0.75,
-                   axis_name: str = TIME_AXIS):
+                   axis_name: str = TIME_AXIS,
+                   halo_impl: str = 'xla'):
   """Local STFT magnitudes of a time-sharded signal, with halo exchange.
 
   Matches ops.spectral.compute_mag(audio, size, overlap, pad_end=True) on
@@ -324,8 +327,8 @@ def local_stft_mag(audio_local: Array,
   # Right halo: first (size - 1) samples of the right neighbor; ppermute
   # leaves the last shard's halo zero = pad_end semantics.
   halo = size - 1
-  perm = [(i + 1, i) for i in range(n_shards - 1)]
-  right_halo = jax.lax.ppermute(audio_local[:, :halo], axis_name, perm)
+  right_halo = neighbor_shift(audio_local[:, :halo], -1, axis_name,
+                              impl=halo_impl)
   ext = jnp.concatenate([audio_local, right_halo], axis=1)
 
   # Global frame starts are k * hop; my frames are those with
@@ -358,7 +361,8 @@ def local_spectral_loss(target_local: Array,
                         fft_sizes=(2048, 1024, 512, 256, 128, 64),
                         mag_weight: float = 1.0,
                         logmag_weight: float = 0.0,
-                        axis_name: str = TIME_AXIS) -> Array:
+                        axis_name: str = TIME_AXIS,
+                        halo_impl: str = 'xla') -> Array:
   """Multi-scale spectral loss over time-sharded signals.
 
   Equals losses.SpectralLoss(fft_sizes, mag_weight, logmag_weight) on the
@@ -371,8 +375,10 @@ def local_spectral_loss(target_local: Array,
   loss = 0.0
   for size in fft_sizes:
     target_mag, mask = local_stft_mag(target_local, size,
-                                      axis_name=axis_name)
-    value_mag, _ = local_stft_mag(audio_local, size, axis_name=axis_name)
+                                      axis_name=axis_name,
+                                      halo_impl=halo_impl)
+    value_mag, _ = local_stft_mag(audio_local, size, axis_name=axis_name,
+                                  halo_impl=halo_impl)
     m = mask[jnp.newaxis, :, jnp.newaxis]
     n_bins = target_mag.shape[-1]
     batch = target_mag.shape[0]
@@ -392,7 +398,8 @@ def time_sharded_spectral_loss(mesh: Mesh,
                                audio: Array,
                                fft_sizes=(2048, 1024, 512, 256, 128, 64),
                                mag_weight: float = 1.0,
-                               logmag_weight: float = 0.0) -> Array:
+                               logmag_weight: float = 0.0,
+                               halo_impl: str = 'xla') -> Array:
   """SpectralLoss with both signals sharded P(None, 'time') over the mesh.
 
   The building block for fully sequence-parallel training: synthesis,
@@ -401,7 +408,8 @@ def time_sharded_spectral_loss(mesh: Mesh,
   """
   fn = functools.partial(local_spectral_loss, fft_sizes=tuple(fft_sizes),
                          mag_weight=mag_weight,
-                         logmag_weight=logmag_weight)
+                         logmag_weight=logmag_weight,
+                         halo_impl=halo_impl)
   # check_vma=False: as with time_sharded_fft_convolve, the vma type
   # checker rejects the FFT transpose; gradient equivalence is pinned by
   # tests instead.

@@ -46,3 +46,58 @@ def test_train_eval_sample_round_trip(tmp_path):
   for root, _, files in os.walk(save_dir):
     samples += [f for f in files if f.endswith('.wav')]
   assert samples, 'no sample wavs written'
+
+
+def test_multihost_flag_calls_distributed_initialize(tmp_path, monkeypatch):
+  """--multihost must initialize jax.distributed before any device use
+  (in-process, with the initializer mocked: no real cluster here)."""
+  import jax
+  from ddsp_tpu import run as run_mod
+
+  calls = []
+  monkeypatch.setattr(jax.distributed, 'initialize',
+                      lambda *a, **k: calls.append(a))
+  save_dir = str(tmp_path / 'mh_run')
+  run_mod.main([
+      '--mode', 'train', '--multihost', '--platform', 'cpu',
+      '--save_dir', save_dir, '--data', 'synthetic:2',
+      '--preset', 'tiny',
+      '--model_kwargs', json.dumps(dict(
+          n_samples=4000, time_steps=50, n_harmonics=6,
+          n_noise_magnitudes=9, reverb_length=500)),
+      '--batch_size', '2', '--n_devices', '1', '--num_steps', '2',
+      '--steps_per_save', '2', '--steps_per_summary', '2',
+  ])
+  assert len(calls) == 1
+  assert os.path.exists(os.path.join(save_dir, 'operative_spec.json'))
+
+
+def test_unknown_data_spec_raises():
+  from ddsp_tpu.run import build_data_provider
+  with pytest.raises(ValueError, match='Unknown data spec'):
+    build_data_provider('bogus:thing', 64000, 16000, 250)
+
+
+def test_eval_reconstructs_model_from_spec(tmp_path, monkeypatch):
+  """--mode=eval rebuilds the exact architecture from the operative spec
+  written at train time (the reference's operative-gin round trip)."""
+  from ddsp_tpu import run as run_mod
+
+  save_dir = str(tmp_path / 'spec_run')
+  kwargs = dict(n_samples=4000, time_steps=50, n_harmonics=6,
+                n_noise_magnitudes=9, reverb_length=500)
+  run_mod.main([
+      '--mode', 'train', '--platform', 'cpu',
+      '--save_dir', save_dir, '--data', 'synthetic:2',
+      '--preset', 'tiny', '--model_kwargs', json.dumps(kwargs),
+      '--batch_size', '2', '--n_devices', '1', '--num_steps', '2',
+      '--steps_per_save', '2', '--steps_per_summary', '2',
+  ])
+  # Eval with NO model_kwargs: everything must come from the spec.
+  run_mod.main([
+      '--mode', 'eval', '--platform', 'cpu', '--run_once',
+      '--save_dir', save_dir, '--data', 'synthetic:2',
+      '--preset', 'tiny', '--batch_size', '2', '--n_devices', '1',
+      '--num_eval_batches', '1',
+  ])
+  assert os.path.exists(os.path.join(save_dir, 'metrics.jsonl'))

@@ -51,6 +51,95 @@ class TestCrepeModel:
       assert y.ndim == 2 and y.shape[0] == 2
 
 
+class TestH5WeightImport:
+
+  def _write_keras_h5(self, path, variables):
+    """Write flax CrepeModel variables in the crepe pip package's keras
+    h5 layout (model_weights/<layer>/<layer>/<weight>:0)."""
+    import h5py
+    params = variables['params']
+    stats = variables['batch_stats']
+    with h5py.File(path, 'w') as f:
+      root = f.create_group('model_weights')
+
+      def put(layer, name, value):
+        grp = root.require_group(layer).require_group(layer)
+        grp.create_dataset(f'{name}:0', data=np.asarray(value))
+
+      for i in range(1, 7):
+        conv = f'conv{i}'
+        put(conv, 'kernel', params[conv]['kernel'])
+        put(conv, 'bias', params[conv]['bias'])
+        bn = f'{conv}-BN'
+        put(bn, 'gamma', params[f'{conv}_BN']['scale'])
+        put(bn, 'beta', params[f'{conv}_BN']['bias'])
+        put(bn, 'moving_mean', stats[f'{conv}_BN']['mean'])
+        put(bn, 'moving_variance', stats[f'{conv}_BN']['var'])
+      put('classifier', 'kernel', params['classifier']['kernel'])
+      put('classifier', 'bias', params['classifier']['bias'])
+
+  def test_round_trip(self, tmp_path):
+    """Write keras-layout h5 -> load_weights_from_h5 -> identical trees
+    and identical network output (pins the keras<->flax layout mapping,
+    which no real weights file exists on this box to pin)."""
+    model = crepe.CrepeModel(model_capacity='tiny')
+    x = jnp.asarray(RNG.randn(2, 1024).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(1), x)
+    path = str(tmp_path / 'model-tiny.h5')
+    self._write_keras_h5(path, v)
+
+    loaded = crepe.load_weights_from_h5(path, 'tiny')
+    flat_v = jax.tree_util.tree_leaves_with_path(
+        {'params': v['params'], 'batch_stats': v['batch_stats']})
+    flat_l = jax.tree_util.tree_leaves_with_path(loaded)
+    assert [k for k, _ in flat_v] == [k for k, _ in flat_l]
+    for (_, a), (_, b) in zip(flat_v, flat_l):
+      np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    y_orig = model.apply(v, x)
+    y_loaded = model.apply(loaded, x)
+    np.testing.assert_array_equal(np.asarray(y_orig), np.asarray(y_loaded))
+
+  def test_capacity_mismatch_raises(self, tmp_path):
+    model = crepe.CrepeModel(model_capacity='tiny')
+    v = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 1024)))
+    path = str(tmp_path / 'model-tiny.h5')
+    self._write_keras_h5(path, v)
+    with pytest.raises(ValueError, match='capacity'):
+      crepe.load_weights_from_h5(path, 'full')
+
+  def test_random_fallback_warns(self, caplog):
+    import logging
+    with caplog.at_level(logging.WARNING):
+      model = crepe.PretrainedCrepe(model_capacity='tiny')
+    assert not model.pretrained
+    assert any('RANDOM weights' in r.message for r in caplog.records)
+
+
+@pytest.mark.skipif(
+    not __import__('os').path.exists(
+        __import__('os').path.join(
+            __import__('os').environ.get('CREPE_WEIGHTS_DIR', '/nonexistent'),
+            'model-tiny.h5')),
+    reason='pretrained CREPE weights not available '
+           '(set $CREPE_WEIGHTS_DIR to enable)')
+class TestPretrainedPitchAccuracy:
+
+  def test_sinusoid_within_20_cents(self):
+    """With real weights: a clean 440 Hz sinusoid decodes within 20 cents
+    (one pitch bin). Skipped when no weights are on disk."""
+    model = crepe.PretrainedCrepe(model_capacity='tiny', hop_size=160)
+    assert model.pretrained
+    sr, secs, hz = 16000, 1.0, 440.0
+    t = np.arange(int(sr * secs)) / sr
+    audio = jnp.asarray((0.7 * np.sin(2 * np.pi * hz * t))
+                        .astype(np.float32))[jnp.newaxis]
+    f0, conf = model.predict_f0_and_confidence(audio, padding='center')
+    f0 = np.asarray(f0)[0][2:-2]  # trim edge frames
+    cents_err = np.abs(1200 * np.log2(f0 / hz))
+    assert np.median(cents_err) < 20, (np.median(cents_err), f0[:5])
+
+
 class TestActivationsToF0:
 
   def test_peaked_activation_decodes_bin_frequency(self):

@@ -123,3 +123,52 @@ class TestRunCliDataSpec:
     p = build_data_provider('tfds:myset:test', 64000, SR, 250)
     assert isinstance(p, data_lib.TfdsProvider)
     assert not isinstance(p, data_lib.NSynthTfds)
+
+
+class TestProviderVariants:
+
+  def _write_records(self, path, n=3, with_16k=True):
+    from ddsp_tpu.data import tfrecord
+    rng = np.random.RandomState(0)
+    records = []
+    for _ in range(n):
+      feats = {
+          'audio': rng.randn(800).astype(np.float32),
+          'f0_hz': rng.rand(51).astype(np.float32) * 200,
+          'f0_confidence': np.ones(51, np.float32),
+          'loudness_db': -np.abs(rng.randn(51)).astype(np.float32) * 30,
+      }
+      if with_16k:
+        feats['audio_16k'] = rng.randn(800).astype(np.float32)
+      records.append(tfrecord.serialize_example(feats))
+    tfrecord.write_records(path, records)
+
+  def test_tfrecord_provider_passes_audio_16k(self, tmp_path):
+    path = str(tmp_path / 'data.tfrecord')
+    self._write_records(path, with_16k=True)
+    p = data_lib.TFRecordProvider(path, example_secs=1, sample_rate=800,
+                                  frame_rate=50)
+    ex = next(iter(p.get_dataset(shuffle=False)))
+    assert 'audio_16k' in ex
+    assert ex['audio_16k'].shape == (800,)
+
+  def test_legacy_provider_omits_audio_16k(self, tmp_path):
+    path = str(tmp_path / 'data.tfrecord')
+    self._write_records(path, with_16k=True)
+    p = data_lib.LegacyTFRecordProvider(path, example_secs=1,
+                                        sample_rate=800, frame_rate=50)
+    ex = next(iter(p.get_dataset(shuffle=False)))
+    assert set(ex) == {'audio', 'f0_hz', 'f0_confidence', 'loudness_db'}
+
+  def test_experimental_provider_round_trip(self, tmp_path):
+    tf = pytest.importorskip('tensorflow')
+    data = {'audio': np.random.RandomState(0).randn(4, 100)
+            .astype(np.float32)}
+    ds = tf.data.Dataset.from_tensor_slices(data)
+    snap = str(tmp_path / 'snapshot')
+    ds.save(snap)
+    p = data_lib.ExperimentalDataProvider(snap, sample_rate=800,
+                                          frame_rate=50)
+    exs = list(p.get_dataset())
+    assert len(exs) == 4
+    assert exs[0]['audio'].shape == (100,)
