@@ -74,17 +74,20 @@ def main():
   inputs = jax.device_put(inputs)
 
   def sync(tree):
-    # block_until_ready under-reports through the device tunnel; force an
-    # actual host transfer of one leaf to fence all prior work.
+    # block_until_ready can under-report through the device tunnel; fence
+    # with a real transfer of ONE element (device-side slice first - a
+    # full np.asarray(leaf) would add the whole array's tunnel transfer
+    # time, ~30 ms for a batch-64 audio buffer, to the measurement).
     leaf = jax.tree_util.tree_leaves(tree)[0]
-    np.asarray(leaf).ravel()[:1]
+    np.asarray(jnp.ravel(leaf)[:1])
 
   # Warmup / compile.
   loss, grads = step(params, inputs)
   sync((loss, grads))
 
-  # Timed steady state.
-  iters = 20
+  # Timed steady state. 60 iterations: single-run timings through the
+  # device tunnel vary ~±30%; a longer window damps it.
+  iters = 60
   t0 = time.time()
   for _ in range(iters):
     loss, grads = step(params, inputs)

@@ -78,11 +78,13 @@ def solo_instrument(n_samples: int = 64000,
                     layers_per_stack: int = 3,
                     reverb: bool = True,
                     use_angular_cumsum: bool = False,
-                    compute_loudness_fresh: bool = True) -> Autoencoder:
+                    compute_loudness_fresh: bool = True,
+                    compute_dtype: str = 'float32') -> Autoencoder:
   """Decodes from (loudness, f0) with a trainable reverb.
 
   Reference: gin/models/solo_instrument.gin. Training data should all come
-  from the same acoustic environment.
+  from the same acoustic environment. compute_dtype='bfloat16' runs the
+  decoder GEMMs on the MXU bf16 path (float32 params/accumulation).
   """
   return Autoencoder(
       preprocessor=nn.F0LoudnessPreprocessor(
@@ -94,6 +96,7 @@ def solo_instrument(n_samples: int = 64000,
           rnn_type='gru',
           ch=ch,
           layers_per_stack=layers_per_stack,
+          compute_dtype=compute_dtype,
           input_keys=('ld_scaled', 'f0_scaled'),
           output_splits=(('amps', 1),
                          ('harmonic_distribution', n_harmonics),

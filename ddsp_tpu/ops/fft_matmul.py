@@ -253,6 +253,37 @@ def matmul_filter_design(magnitudes: Array, window_size: int,
           _einsum('...m,mk->...k', magnitudes, jnp.asarray(s)))
 
 
+@functools.lru_cache(maxsize=None)
+def _weighted_power_matrix(frame_size: int, fft_size: int,
+                           weights: tuple):
+  """Q [frame, frame] with sum_k w_k |rfft(f)_k|^2 == f @ Q @ f.
+
+  The spectral reduction in A-weighted loudness is a fixed quadratic form
+  of the (windowed) frame: |X_k|^2 = (f.C_k)^2 + (f.S_k)^2, so the
+  weighted bin sum collapses to Q = C diag(w) C^T + S diag(w) S^T - one
+  MXU GEMM + an elementwise multiply-reduce per frame instead of
+  thousands of small FFTs. Built in float64, returned float32.
+  """
+  k = np.arange(frame_size)[:, None] * np.arange(fft_size // 2 + 1)[None, :]
+  ang = -2.0 * np.pi * k / fft_size
+  c = np.cos(ang)
+  s = np.sin(ang)
+  w = np.asarray(weights, np.float64)
+  q = (c * w) @ c.T + (s * w) @ s.T
+  return q.astype(np.float32)
+
+
+def matmul_weighted_power(frames: Array, fft_size: int,
+                          weights: tuple) -> Array:
+  """sum_k weights[k] * |rfft(frames, fft_size)[..., k]|^2 via one GEMM.
+
+  frames: [..., frame_size] (already windowed). Returns [...].
+  """
+  q = jnp.asarray(_weighted_power_matrix(frames.shape[-1], fft_size,
+                                         tuple(weights)))
+  return jnp.sum(_einsum('...s,st->...t', frames, q) * frames, axis=-1)
+
+
 def use_matmul_small_fft(fft_size: int) -> bool:
   """Direct-GEMM (i)rfft pays off for small batched transforms on TPU.
 

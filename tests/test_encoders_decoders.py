@@ -179,3 +179,31 @@ class TestDecoders:
     v = dec.init(KEY, inputs)
     out = dec.apply(v, inputs)
     assert out['amps'].shape == (b, t, 1)
+
+
+class TestComputeDtype:
+
+  def test_bf16_decoder_f32_params_and_outputs(self):
+    """compute_dtype='bfloat16' runs GEMMs in bf16 but keeps float32
+    params and float32 outputs, staying close to the f32 result."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ddsp_tpu import nn as dnn
+    rng = np.random.RandomState(0)
+    x = {'f0_scaled': jnp.asarray(rng.rand(2, 40, 1).astype(np.float32)),
+         'ld_scaled': jnp.asarray(rng.rand(2, 40, 1).astype(np.float32))}
+    outs = {}
+    for dt in ('float32', 'bfloat16'):
+      dec = dnn.RnnFcDecoder(
+          rnn_channels=32, ch=32, layers_per_stack=2, compute_dtype=dt,
+          input_keys=('ld_scaled', 'f0_scaled'),
+          output_splits=(('amps', 1), ('harmonic_distribution', 10)))
+      v = dec.init(jax.random.PRNGKey(0), x)
+      assert all(l.dtype == jnp.float32
+                 for l in jax.tree_util.tree_leaves(v))
+      o = dec.apply(v, x)
+      assert all(val.dtype == jnp.float32 for val in o.values())
+      outs[dt] = np.asarray(o['harmonic_distribution'])
+    scale = np.abs(outs['float32']).max() + 1e-9
+    assert np.abs(outs['bfloat16'] - outs['float32']).max() / scale < 0.1

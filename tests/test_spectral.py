@@ -141,3 +141,33 @@ def test_pad_or_trim():
   assert ops.pad_or_trim_to_expected_length(v, 5).shape == (5,)
   with pytest.raises(ValueError):
     ops.pad_or_trim_to_expected_length(v, 100)
+
+
+class TestWeightedPowerGemm:
+
+  def test_quadratic_form_equals_weighted_fft_power(self):
+    """The loudness GEMM path: f @ Q @ f == sum_k w_k |rfft(f)_k|^2."""
+    import jax.numpy as jnp
+    from ddsp_tpu.ops import fft_matmul
+    rng = np.random.RandomState(0)
+    frame_size, fft_size = 512, 512
+    frames = rng.randn(3, 7, frame_size).astype(np.float32)
+    w = rng.rand(fft_size // 2 + 1).astype(np.float64)
+
+    got = np.asarray(fft_matmul.matmul_weighted_power(
+        jnp.asarray(frames), fft_size, tuple(w.tolist())))
+    spec = np.fft.rfft(frames, fft_size, axis=-1)
+    want = (np.abs(spec)**2 * w).sum(-1)
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+
+  def test_compute_loudness_matches_reference_branch(self):
+    """The TPU (GEMM) and generic (FFT) loudness branches agree in dB."""
+    import jax.numpy as jnp
+    from unittest import mock
+    from ddsp_tpu.ops import spectral as spectral_mod
+    rng = np.random.RandomState(1)
+    audio = jnp.asarray(rng.randn(2, 8000).astype(np.float32) * 0.2)
+    ld_fft = np.asarray(spectral_mod.compute_loudness(audio))
+    with mock.patch('jax.default_backend', return_value='tpu'):
+      ld_gemm = np.asarray(spectral_mod.compute_loudness(audio))
+    np.testing.assert_allclose(ld_gemm, ld_fft, atol=2e-3)
