@@ -57,10 +57,17 @@ def main():
   utils.save_spec(save_dir, 'vst', **kw)
 
   from ddsp_tpu.data import SyntheticSinusoidProvider
+  # Training audio is seconds*sr; the synth renders one extra (center-pad)
+  # hop internally and crops it, so audio_synth matches this length. The
+  # preset takes f0 from the data at the centered frame count.
+  n_samples = int(kw['seconds'] * kw['sample_rate'])
+  hop = kw['sample_rate'] // kw['frame_rate']
+  n_frames = n_samples // hop + 1
   provider = SyntheticSinusoidProvider(
-      n_samples=int(kw['seconds'] * kw['sample_rate']) + 320,
-      sample_rate=16000, frame_rate=50, n_examples=1)
+      n_samples=n_samples, sample_rate=16000, frame_rate=50, n_examples=1)
   batch = next(provider.get_batch(1, shuffle=False))
+  batch['f0_hz'] = np.full((1, n_frames), 220.0, np.float32)
+  batch['f0_confidence'] = np.ones((1, n_frames), np.float32)
   trainer = Trainer(model, mesh=create_mesh(n_data=1,
                                             devices=jax.devices()[:1]))
   state = trainer.init(batch)

@@ -115,7 +115,8 @@ def solo_instrument(n_samples: int = 64000,
                          name='reverb'),
              ['add/signal'])] if reverb else []))),
       losses=(losses_lib.SpectralLoss(loss_type='L1', mag_weight=1.0,
-                                      logmag_weight=1.0),))
+                                      logmag_weight=1.0,
+                                      compute_dtype=compute_dtype),))
 
 
 @register_preset('tiny')

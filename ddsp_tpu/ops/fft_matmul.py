@@ -151,17 +151,29 @@ def _dft_half_matrices(size: int, fft_size: int):
   return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
 
 
-def matmul_stft_mag(frames: Array, fft_size: int) -> Array:
+def matmul_stft_mag(frames: Array, fft_size: int,
+                    compute_dtype: str = 'float32') -> Array:
   """|rfft(frames, fft_size)| via one MXU GEMM per (cos, sin).
 
   frames: [..., frame_size] windowed frames. Returns
   [..., fft_size//2 + 1] magnitudes. ~2x faster than XLA's TPU FFT for the
   multi-scale spectral loss at training sizes, and never materializes
-  complex intermediates.
+  complex intermediates. compute_dtype='bfloat16' runs the DFT GEMMs on
+  the MXU bf16 path with float32 accumulation (~1.4x again; magnitudes
+  within ~0.2% relative - fine for training losses, not for goldens).
   """
   c, s = _dft_half_matrices(frames.shape[-1], fft_size)
-  re = _einsum('...s,sk->...k', frames, jnp.asarray(c))
-  im = _einsum('...s,sk->...k', frames, jnp.asarray(s))
+  dt = jnp.dtype(compute_dtype)
+  if dt != jnp.float32:
+    dn = (((frames.ndim - 1,), (0,)), ((), ()))
+    fb = frames.astype(dt)
+    re = jax.lax.dot_general(fb, jnp.asarray(c, dt), dn,
+                             preferred_element_type=jnp.float32)
+    im = jax.lax.dot_general(fb, jnp.asarray(s, dt), dn,
+                             preferred_element_type=jnp.float32)
+  else:
+    re = _einsum('...s,sk->...k', frames, jnp.asarray(c))
+    im = _einsum('...s,sk->...k', frames, jnp.asarray(s))
   # Floor at 1e-5 (= sqrt(1e-10)): matches safe_log's clamp for exactly
   # silent bins, so loss values agree with the |stft| path there.
   return jnp.sqrt(re * re + im * im + 1e-10)

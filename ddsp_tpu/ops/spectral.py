@@ -141,7 +141,8 @@ def stft(audio: Array,
 def compute_mag(audio: Array,
                 size: int = 2048,
                 overlap: float = 0.75,
-                pad_end: bool = True) -> Array:
+                pad_end: bool = True,
+                compute_dtype: str = 'float32') -> Array:
   """Magnitude spectrogram.
 
   On TPU the magnitudes are computed as a windowed-frame GEMM against the
@@ -160,7 +161,8 @@ def compute_mag(audio: Array,
     fft_size = int(2**np.ceil(np.log2(size)))
     frames = fftconv.frame(audio, size, hop_size, pad_end=pad_end)
     frames = frames * fftconv.hann_window(size)
-    return fft_matmul.matmul_stft_mag(frames, fft_size)
+    return fft_matmul.matmul_stft_mag(frames, fft_size,
+                                      compute_dtype=compute_dtype)
   mag = jnp.abs(stft(audio, frame_size=size, overlap=overlap,
                      pad_end=pad_end))
   return mag.astype(jnp.float32)

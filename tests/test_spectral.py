@@ -171,3 +171,14 @@ class TestWeightedPowerGemm:
     with mock.patch('jax.default_backend', return_value='tpu'):
       ld_gemm = np.asarray(spectral_mod.compute_loudness(audio))
     np.testing.assert_allclose(ld_gemm, ld_fft, atol=2e-3)
+
+  def test_stft_mag_bf16_close_to_f32(self):
+    """bf16 DFT GEMMs stay within ~0.5% relative of the f32 magnitudes."""
+    import jax.numpy as jnp
+    from ddsp_tpu.ops import fft_matmul
+    rng = np.random.RandomState(2)
+    frames = jnp.asarray(rng.randn(2, 5, 256).astype(np.float32) * 0.3)
+    m32 = np.asarray(fft_matmul.matmul_stft_mag(frames, 256))
+    m16 = np.asarray(fft_matmul.matmul_stft_mag(
+        frames, 256, compute_dtype='bfloat16'))
+    assert np.abs(m16 - m32).max() / (np.abs(m32).max() + 1e-9) < 5e-3
