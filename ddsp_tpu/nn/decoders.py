@@ -75,7 +75,9 @@ class RnnFcDecoder(nn_layers.DictModule):
     self.out_stack = nn_layers.FcStack(self.ch, self.layers_per_stack,
                                        compute_dtype=self.compute_dtype)
     n_out = sum(v[1] for v in self.output_splits)
-    self.dense_out = nn.Dense(n_out)
+    # Output head always float32 (also re-anchors bf16-mode activations so
+    # control outputs keep the float32 contract).
+    self.dense_out = nn.Dense(n_out, dtype=jnp.float32)
 
   def forward(self, *inputs, **unused_kwargs):
     inputs = list(inputs)

@@ -117,9 +117,9 @@ class DictModule(nn.Module):
 class Fc(nn.Module):
   """Dense -> LayerNorm -> nonlinearity (default leaky_relu).
 
-  compute_dtype: GEMM computation dtype ('bfloat16' runs the Dense on the
-  MXU's 4x-rate bf16 path; params stay float32 and LayerNorm /
-  nonlinearity run in float32 for stability).
+  compute_dtype: computation dtype. 'bfloat16' runs the Dense on the
+  MXU's 4x-rate bf16 path and keeps activations bf16 through the norm +
+  nonlinearity (params and the norm statistics stay float32).
   """
 
   ch: int = 128
@@ -128,10 +128,16 @@ class Fc(nn.Module):
 
   @nn.compact
   def __call__(self, x: Array) -> Array:
-    x = nn.Dense(self.ch, dtype=jnp.dtype(self.compute_dtype))(x)
-    # Keras LayerNormalization default epsilon=1e-3.
-    x = nn.LayerNorm(epsilon=1e-3)(x.astype(jnp.float32))
-    return get_nonlinearity(self.nonlinearity)(x)
+    dt = jnp.dtype(self.compute_dtype)
+    x = nn.Dense(self.ch, dtype=dt)(x)
+    # Keras LayerNormalization default epsilon=1e-3. In bf16 mode the
+    # activations stay bf16 through the norm + nonlinearity (the stack is
+    # activation-bandwidth-bound, so halving the bytes matters more than
+    # the mantissa; flax computes the statistics in float32 regardless),
+    # and the stack's caller sees float32 again at the final layer.
+    x = nn.LayerNorm(epsilon=1e-3, dtype=dt)(x)
+    x = get_nonlinearity(self.nonlinearity)(x)
+    return x
 
 
 class FcStack(nn.Module):
@@ -186,7 +192,8 @@ class FastGRU(nn.Module):
     else:
       xp = x @ wi + bi  # [batch, time, 3H] - one big GEMM.
     if initial_state is None:
-      h0 = jnp.zeros((x.shape[0], h_dim), x.dtype)
+      # Carry always float32 (inputs may arrive bf16 from a bf16 stack).
+      h0 = jnp.zeros((x.shape[0], h_dim), jnp.float32)
     else:
       h0 = initial_state
 
