@@ -1,0 +1,22 @@
+"""Smoke tests for the example scripts (tiny configs, in-process)."""
+
+import pytest
+
+
+@pytest.mark.slow
+def test_pitch_detection_example(tmp_path):
+  from examples import pitch_detection
+  err = pitch_detection.main([
+      '--steps', '2', '--batch_size', '2', '--n_samples', '4096',
+      '--n_sinusoids', '8', '--n_harmonics', '8', '--platform', 'cpu',
+      '--save_dir', str(tmp_path / 'pitch')])
+  assert err >= 0.0  # ran end to end and produced a finite metric
+
+
+@pytest.mark.slow
+def test_train_vst_example(tmp_path):
+  from examples import train_vst
+  rms = train_vst.main([
+      '--steps', '2', '--stream_hops', '4', '--platform', 'cpu',
+      '--save_dir', str(tmp_path / 'vst')])
+  assert rms >= 0.0
