@@ -183,13 +183,49 @@ def _fwd_kernel(phase_ref, f0_ref, taps_ref, rf_ref, out_ref, *,
   out_ref[0, :, :] = out
 
 
-def _bwd_kernel(phase_ref, f0_ref, taps_ref, rf_ref, g_ref,
-                dphase_ref, dtaps_ref, *, nyquist: float,
-                n_harmonics: int, n_taps: int, resident: bool):
-  """Fused backward via the same sin/cos recurrences.
+def _bwd_taps_kernel(phase_ref, f0_ref, rf_ref, g_ref, dtaps_ref, *,
+                     nyquist: float, n_harmonics: int, n_taps: int):
+  """Amplitude-tap cotangents (the training hot path; no taps input).
 
-  dphase[s] = g[s] * sum_h A_h[s] * h * cos(h p_s) * mask
-  dtaps[j, k, h] = sum_l rf[j, l] * g[k, l] * mask * sin(h p)
+  dtaps[j, k, h] = sum_l rf[j, l] * g[k, l] * mask * sin(h p). Needs only
+  the sin Chebyshev chain.
+  """
+  phase = phase_ref[0, :, :]
+  f0 = f0_ref[0, :, :]
+  g = g_ref[0, :, :]
+
+  s_curr = jnp.sin(phase)
+  two_c1 = 2.0 * jnp.cos(phase)
+  s_prev = jnp.zeros_like(phase)
+
+  # Weighted upstream gradients, one per tap (hoisted out of the h loop).
+  gw = [rf_ref[j:j + 1, :] * g for j in range(n_taps)]
+  k = phase.shape[0]
+
+  cols = [[] for _ in range(n_taps)]
+  for h in range(1, n_harmonics + 1):
+    s_m = jnp.where(f0 * float(h) >= nyquist, 0.0, s_curr)
+    for j in range(n_taps):
+      cols[j].append(jnp.sum(gw[j] * s_m, axis=1, keepdims=True))
+    if h < n_harmonics:
+      s_next = two_c1 * s_curr - s_prev
+      s_prev, s_curr = s_curr, s_next
+
+  pad = _LANES - n_harmonics
+  zeros = [jnp.zeros((k, pad), jnp.float32)] if pad else []
+  for j in range(n_taps):
+    dtaps_ref[0, j, :, :] = jnp.concatenate(cols[j] + zeros, axis=1)
+
+
+def _bwd_phase_kernel(phase_ref, f0_ref, taps_ref, rf_ref, g_ref,
+                      dphase_ref, *, nyquist: float, n_harmonics: int,
+                      n_taps: int, resident: bool):
+  """Phase cotangent: dphase[s] = g[s] * sum_h A_h[s] * h * cos(h p) * mask.
+
+  A separate kernel from the tap cotangents so that models whose f0 comes
+  from the dataset (no gradient path through the phase - the flagship
+  training configs) let XLA dead-code-eliminate this call entirely. Needs
+  only the cos Chebyshev chain.
   """
   import jax.experimental.pallas as pl  # pylint: disable=g-import-not-at-top
   phase = phase_ref[0, :, :]
@@ -198,43 +234,22 @@ def _bwd_kernel(phase_ref, f0_ref, taps_ref, rf_ref, g_ref,
   tap_amps = _load_taps(taps_ref, n_taps, phase.shape[0],
                         pl.program_id(1), resident)
 
-  s_curr = jnp.sin(phase)
   c_curr = jnp.cos(phase)
   two_c1 = 2.0 * c_curr
-  s_prev = jnp.zeros_like(phase)
   c_prev = jnp.ones_like(phase)
 
-  # Weighted upstream gradients, one per tap (hoisted out of the h loop).
-  gw = [rf_ref[j:j + 1, :] * g for j in range(n_taps)]
-  k = phase.shape[0]
-
   dphase_acc = jnp.zeros_like(phase)
-  cols = [[] for _ in range(n_taps)]
   for h in range(1, n_harmonics + 1):
-    mask = f0 * float(h) < nyquist
-    s_m = jnp.where(mask, s_curr, 0.0)
-    c_m = jnp.where(mask, c_curr, 0.0)
-
+    c_m = jnp.where(f0 * float(h) >= nyquist, 0.0, c_curr)
     a_h = tap_amps[0][:, h - 1:h] * rf_ref[0:1, :]
     for j in range(1, n_taps):
       a_h += tap_amps[j][:, h - 1:h] * rf_ref[j:j + 1, :]
     dphase_acc += a_h * (float(h) * c_m)
-
-    for j in range(n_taps):
-      cols[j].append(jnp.sum(gw[j] * s_m, axis=1, keepdims=True))
-
     if h < n_harmonics:
-      s_next = two_c1 * s_curr - s_prev
       c_next = two_c1 * c_curr - c_prev
-      s_prev, s_curr = s_curr, s_next
       c_prev, c_curr = c_curr, c_next
 
   dphase_ref[0, :, :] = g * dphase_acc
-
-  pad = _LANES - n_harmonics
-  zeros = [jnp.zeros((k, pad), jnp.float32)] if pad else []
-  for j in range(n_taps):
-    dtaps_ref[0, j, :, :] = jnp.concatenate(cols[j] + zeros, axis=1)
 
 
 def _taps_spec(taps, n_taps, block_rows, resident):
@@ -274,8 +289,8 @@ def _pallas_fwd(phase_r, f0_r, taps, rf, *, w, nyquist, n_harmonics,
   )(phase_r, f0_r, taps, rf)
 
 
-def _pallas_bwd(phase_r, f0_r, taps, rf, g_r, *, w, nyquist, n_harmonics,
-                n_taps, block_rows, resident, interpret):
+def _pallas_bwd_taps(phase_r, f0_r, rf, g_r, *, w, nyquist, n_harmonics,
+                     n_taps, block_rows, interpret):
   from jax.experimental import pallas as pl
 
   batch, n_rows = phase_r.shape[0], phase_r.shape[1]
@@ -283,7 +298,34 @@ def _pallas_bwd(phase_r, f0_r, taps, rf, g_r, *, w, nyquist, n_harmonics,
   blk3 = lambda b, i: (b, i, 0)
 
   return pl.pallas_call(
-      functools.partial(_bwd_kernel, nyquist=nyquist,
+      functools.partial(_bwd_taps_kernel, nyquist=nyquist,
+                        n_harmonics=n_harmonics, n_taps=n_taps),
+      grid=grid,
+      in_specs=[
+          pl.BlockSpec((1, block_rows, w), blk3),
+          pl.BlockSpec((1, block_rows, w), blk3),
+          pl.BlockSpec((n_taps, w), lambda b, i: (0, 0)),
+          pl.BlockSpec((1, block_rows, w), blk3),
+      ],
+      out_specs=pl.BlockSpec((1, n_taps, block_rows, _LANES),
+                             lambda b, i: (b, 0, i, 0)),
+      out_shape=jax.ShapeDtypeStruct((batch, n_taps, n_rows, _LANES),
+                                     jnp.float32),
+      interpret=interpret,
+  )(phase_r, f0_r, rf, g_r)
+
+
+def _pallas_bwd_phase(phase_r, f0_r, taps, rf, g_r, *, w, nyquist,
+                      n_harmonics, n_taps, block_rows, resident,
+                      interpret):
+  from jax.experimental import pallas as pl
+
+  batch, n_rows = phase_r.shape[0], phase_r.shape[1]
+  grid = (batch, n_rows // block_rows)
+  blk3 = lambda b, i: (b, i, 0)
+
+  return pl.pallas_call(
+      functools.partial(_bwd_phase_kernel, nyquist=nyquist,
                         n_harmonics=n_harmonics, n_taps=n_taps,
                         resident=resident),
       grid=grid,
@@ -294,16 +336,8 @@ def _pallas_bwd(phase_r, f0_r, taps, rf, g_r, *, w, nyquist, n_harmonics,
           pl.BlockSpec((n_taps, w), lambda b, i: (0, 0)),
           pl.BlockSpec((1, block_rows, w), blk3),
       ],
-      out_specs=(
-          pl.BlockSpec((1, block_rows, w), blk3),
-          pl.BlockSpec((1, n_taps, block_rows, _LANES),
-                       lambda b, i: (b, 0, i, 0)),
-      ),
-      out_shape=(
-          jax.ShapeDtypeStruct((batch, n_rows, w), jnp.float32),
-          jax.ShapeDtypeStruct((batch, n_taps, n_rows, _LANES),
-                               jnp.float32),
-      ),
+      out_specs=pl.BlockSpec((1, block_rows, w), blk3),
+      out_shape=jax.ShapeDtypeStruct((batch, n_rows, w), jnp.float32),
       interpret=interpret,
   )(phase_r, f0_r, taps, rf, g_r)
 
@@ -394,7 +428,15 @@ def _fused_bwd(sample_rate, method, interpret, residuals, g):
     g = jnp.pad(g, ((0, 0), (0, n_rows_pad * w - n_samples)))
   g_r = g.reshape(batch, n_rows_pad, w)
 
-  dphase_r, dtaps = _pallas_bwd(
+  # Two independent kernels: when the phase cotangent is unused downstream
+  # (f0 from the dataset - the flagship training case), XLA removes the
+  # phase kernel entirely; each kernel also only runs the half of the
+  # sin/cos Chebyshev chains it needs.
+  dtaps = _pallas_bwd_taps(
+      phase_r, f0_r, rf, g_r, w=w, nyquist=sample_rate / 2.0,
+      n_harmonics=ham.shape[-1], n_taps=n_taps, block_rows=block_rows,
+      interpret=interpret)
+  dphase_r = _pallas_bwd_phase(
       phase_r, f0_r, taps, rf, g_r, w=w, nyquist=sample_rate / 2.0,
       n_harmonics=ham.shape[-1], n_taps=n_taps, block_rows=block_rows,
       resident=(p == 1), interpret=interpret)
