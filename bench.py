@@ -64,10 +64,15 @@ def main():
                       rngs={'noise': noise_key})
     return jnp.mean(signal**2)
 
-  # Differentiate w.r.t. params only: matches a real train step (inputs are
-  # data, not trainables) and matches benchmarks/run_all.py so BENCH_r{N}
-  # numbers are comparable round over round.
-  step = jax.jit(jax.value_and_grad(loss_fn))
+  # Differentiate w.r.t. params AND the frame-rate control inputs: in this
+  # chain the only parameter is the reverb IR, so params-only grads would
+  # let XLA dead-code-eliminate the entire harmonic/noise backward - and
+  # the TF-CPU baseline (benchmarks/tf_baseline.py) takes
+  # tape.gradient(loss, [amps, hd, noise_mags, reverb_ir]). Matching
+  # definitions keeps vs_baseline apples-to-apples; in a full model the
+  # synth backward is live anyway (decoder params sit upstream), which the
+  # train_steps benchmarks cover.
+  step = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))
 
   # Move inputs to device once (steady-state training keeps data on-device).
   params = jax.device_put(params)

@@ -108,7 +108,10 @@ def bench_chain_fwd_grad(iters):
                      rngs={'noise': jax.random.PRNGKey(2)})
     return jax.numpy.mean(audio**2)
 
-  fn = jax.jit(jax.value_and_grad(loss_fn))
+  # Grads w.r.t. params AND control inputs - see bench.py: params-only
+  # would DCE the synth backward (reverb IR is the only parameter here)
+  # and the TF baseline differentiates w.r.t. the controls too.
+  fn = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))
   dt = _time(fn, (variables.get('params', {}), inputs), iters)
   return {'seconds_per_step': dt,
           'audio_samples_per_s': batch * N_SAMPLES / dt}
