@@ -278,3 +278,37 @@ class TestPrefetch:
     with pytest.raises(RuntimeError, match='boom'):
       for _ in it:
         pass
+
+
+class TestNotebookUtils:
+
+  def test_wav_round_trip(self, tmp_path):
+    from ddsp_tpu.utils import notebook
+    rng = np.random.RandomState(0)
+    audio = (rng.randn(4000) * 0.2).astype(np.float32)
+    wav = notebook.audio_to_wav_bytes(audio, 16000)
+    back = notebook.audio_bytes_to_np(wav, sample_rate=16000)
+    assert back.shape == audio.shape
+    np.testing.assert_allclose(back, np.clip(audio, -1, 1), atol=2e-4)
+
+  def test_resampling_on_load(self):
+    from ddsp_tpu.utils import notebook
+    t = np.arange(8000) / 8000.0
+    audio = np.sin(2 * np.pi * 100 * t).astype(np.float32)
+    wav = notebook.audio_to_wav_bytes(audio, 8000)
+    back = notebook.audio_bytes_to_np(wav, sample_rate=16000)
+    assert abs(len(back) - 16000) <= 1
+
+  def test_play_headless_writes_wav(self, tmp_path):
+    from ddsp_tpu.utils import notebook
+    path = str(tmp_path / 'out.wav')
+    out = notebook.play(np.zeros(1000, np.float32), out_path=path)
+    assert out == path and os.path.exists(path)
+
+  def test_record_upload_raise_clearly(self):
+    from ddsp_tpu.utils import notebook
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match='frontend'):
+      notebook.record()
+    with _pytest.raises(RuntimeError, match='frontend'):
+      notebook.upload()
