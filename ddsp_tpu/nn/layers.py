@@ -169,6 +169,9 @@ class FastGRU(nn.Module):
   dims: int = 512
   unroll: int = 16
   compute_dtype: str = 'float32'
+  # None = auto: fused Pallas sequence kernel on TPU when shapes conform
+  # (ops/pallas_kernels/gru.py), lax.scan otherwise.
+  use_pallas: Optional[bool] = None
 
   @nn.compact
   def __call__(self, x: Array,
@@ -196,6 +199,23 @@ class FastGRU(nn.Module):
       h0 = jnp.zeros((x.shape[0], h_dim), jnp.float32)
     else:
       h0 = initial_state
+
+    use_pallas = self.use_pallas
+    if use_pallas is None:
+      from ddsp_tpu.ops import pallas_kernels  # pylint: disable=g-import-not-at-top
+      use_pallas = (jax.default_backend() == 'tpu' and
+                    pallas_kernels.gru_kernel_supported(
+                        x.shape[0], x.shape[1], h_dim))
+    if use_pallas:
+      # One Pallas launch for the whole recurrence: wh resident in VMEM,
+      # timestep blocks streamed, carry in scratch; backward recomputes
+      # gates in-kernel (see ops/pallas_kernels/gru.py).
+      from ddsp_tpu.ops import pallas_kernels  # pylint: disable=g-import-not-at-top
+      ys, h_final = pallas_kernels.fused_gru(
+          xp, wh, bn, h0, jax.default_backend() != 'tpu')
+      if return_state:
+        return ys, h_final
+      return ys
 
     def step(h, xp_t):
       hp = h @ wh

@@ -1,0 +1,127 @@
+"""Tests for the fused Pallas GRU sequence kernel (interpret mode).
+
+Correctness bar: exact-math agreement with the FastGRU lax.scan path
+(same float32 gate arithmetic) for hidden states, final carry, and all
+cotangents (inputs, recurrent weights, bias, initial state).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddsp_tpu.ops.pallas_kernels import fused_gru, gru_kernel_supported
+
+RNG = np.random.RandomState(0)
+
+
+def _scan_gru(xp, wh, bn, h0):
+  h_dim = wh.shape[0]
+
+  def step(h, xp_t):
+    hp = h @ wh
+    r = jax.nn.sigmoid(xp_t[:, :h_dim] + hp[:, :h_dim])
+    z = jax.nn.sigmoid(xp_t[:, h_dim:2 * h_dim] + hp[:, h_dim:2 * h_dim])
+    n = jnp.tanh(xp_t[:, 2 * h_dim:] + r * (hp[:, 2 * h_dim:] + bn))
+    h = (1.0 - z) * n + z * h
+    return h, h
+
+  h_final, ys = jax.lax.scan(step, h0, jnp.swapaxes(xp, 0, 1))
+  return jnp.swapaxes(ys, 0, 1), h_final
+
+
+def _inputs(b=8, t=24, h=128, seed=0):
+  rng = np.random.RandomState(seed)
+  xp = jnp.asarray(rng.randn(b, t, 3 * h).astype(np.float32) * 0.3)
+  wh = jnp.asarray((rng.randn(h, 3 * h) / np.sqrt(h)).astype(np.float32))
+  bn = jnp.asarray(rng.randn(h).astype(np.float32) * 0.1)
+  h0 = jnp.asarray(rng.randn(b, h).astype(np.float32) * 0.1)
+  return xp, wh, bn, h0
+
+
+def test_supported_shapes():
+  assert gru_kernel_supported(64, 1000, 512)
+  assert gru_kernel_supported(8, 24, 128)
+  assert not gru_kernel_supported(64, 1000, 100)  # H not lane-aligned
+  assert not gru_kernel_supported(3, 1000, 512)   # batch not sublane-aligned
+
+
+@pytest.mark.parametrize('t', [24, 25])  # block 8 and odd (block 1)
+def test_forward_matches_scan(t):
+  xp, wh, bn, h0 = _inputs(t=t)
+  ys_p, hf_p = fused_gru(xp, wh, bn, h0, True)
+  ys_s, hf_s = _scan_gru(xp, wh, bn, h0)
+  np.testing.assert_allclose(np.asarray(ys_p), np.asarray(ys_s),
+                             atol=1e-6, rtol=1e-6)
+  np.testing.assert_allclose(np.asarray(hf_p), np.asarray(hf_s),
+                             atol=1e-6, rtol=1e-6)
+
+
+def test_gradients_match_scan():
+  xp, wh, bn, h0 = _inputs()
+  w = jnp.asarray(RNG.randn(*(8, 24, 128)).astype(np.float32))
+
+  def loss(fn, xp, wh, bn, h0):
+    ys, hf = fn(xp, wh, bn, h0)
+    return jnp.sum(ys * w) + jnp.sum(hf**2)
+
+  gp = jax.grad(lambda *a: loss(
+      lambda *b: fused_gru(*b, True), *a), argnums=(0, 1, 2, 3))(
+          xp, wh, bn, h0)
+  gs = jax.grad(lambda *a: loss(_scan_gru, *a), argnums=(0, 1, 2, 3))(
+      xp, wh, bn, h0)
+  for a, b in zip(gp, gs):
+    a, b = np.asarray(a), np.asarray(b)
+    scale = np.abs(b).max() + 1e-12
+    np.testing.assert_allclose(a / scale, b / scale, atol=1e-5)
+
+
+def test_gradient_directional_finite_difference():
+  """Directional derivative along a dense random direction: a full-matrix
+  probe is well-conditioned in float32 where single-entry FD is not."""
+  xp, wh, bn, h0 = _inputs(b=8, t=8, h=128, seed=3)
+  rng = np.random.RandomState(7)
+  d = jnp.asarray((rng.randn(*wh.shape) / np.sqrt(wh.size))
+                  .astype(np.float32))
+
+  def loss(wh):
+    ys, _ = fused_gru(xp, wh, bn, h0, True)
+    return jnp.mean(ys**2)
+
+  g = jax.grad(loss)(wh)
+  analytic = float(jnp.sum(g * d))
+  eps = 1e-2
+  fd = (float(loss(wh + eps * d)) - float(loss(wh - eps * d))) / (2 * eps)
+  np.testing.assert_allclose(analytic, fd, rtol=5e-2, atol=1e-6)
+
+
+def test_fastgru_uses_kernel_when_forced():
+  """FastGRU(use_pallas=True) equals FastGRU(use_pallas=False)."""
+  from ddsp_tpu.nn import layers as L
+  rng = np.random.RandomState(5)
+  x = jnp.asarray(rng.randn(8, 16, 64).astype(np.float32) * 0.3)
+  m_scan = L.FastGRU(128, use_pallas=False)
+  m_pal = L.FastGRU(128, use_pallas=True)
+  v = m_scan.init(jax.random.PRNGKey(0), x)
+  y_scan = np.asarray(m_scan.apply(v, x))
+  y_pal = np.asarray(m_pal.apply(v, x))
+  np.testing.assert_allclose(y_pal, y_scan, atol=1e-6, rtol=1e-6)
+
+  g_scan = jax.grad(lambda v: jnp.mean(m_scan.apply(v, x)**2))(v)
+  g_pal = jax.grad(lambda v: jnp.mean(m_pal.apply(v, x)**2))(v)
+  for a, b in zip(jax.tree_util.tree_leaves(g_pal),
+                  jax.tree_util.tree_leaves(g_scan)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-6, rtol=1e-5)
+
+
+def test_streaming_state_round_trip():
+  """Explicit initial/final state: two half-sequences equal one full."""
+  xp, wh, bn, h0 = _inputs(t=16)
+  ys_full, hf_full = fused_gru(xp, wh, bn, h0, True)
+  ys_a, hf_a = fused_gru(xp[:, :8], wh, bn, h0, True)
+  ys_b, hf_b = fused_gru(xp[:, 8:], wh, bn, hf_a, True)
+  np.testing.assert_allclose(np.asarray(jnp.concatenate([ys_a, ys_b], 1)),
+                             np.asarray(ys_full), atol=1e-6)
+  np.testing.assert_allclose(np.asarray(hf_b), np.asarray(hf_full),
+                             atol=1e-6)
