@@ -209,10 +209,22 @@ class FastGRU(nn.Module):
     if use_pallas:
       # One Pallas launch for the whole recurrence: wh resident in VMEM,
       # timestep blocks streamed, carry in scratch; backward recomputes
-      # gates in-kernel (see ops/pallas_kernels/gru.py).
+      # gates in-kernel (see ops/pallas_kernels/gru.py). Batch rows are
+      # independent, so an off-sublane batch is zero-padded to the 8-row
+      # tile and sliced back - the kernel's per-step latency is set by the
+      # serial recurrence, not the row count, so this still wins.
       from ddsp_tpu.ops import pallas_kernels  # pylint: disable=g-import-not-at-top
+      batch = xp.shape[0]
+      pad_b = -batch % 8
+      if pad_b:
+        xp_k = jnp.pad(xp, ((0, pad_b), (0, 0), (0, 0)))
+        h0_k = jnp.pad(h0, ((0, pad_b), (0, 0)))
+      else:
+        xp_k, h0_k = xp, h0
       ys, h_final = pallas_kernels.fused_gru(
-          xp, wh, bn, h0, jax.default_backend() != 'tpu')
+          xp_k, wh, bn, h0_k, jax.default_backend() != 'tpu')
+      if pad_b:
+        ys, h_final = ys[:batch], h_final[:batch]
       if return_state:
         return ys, h_final
       return ys

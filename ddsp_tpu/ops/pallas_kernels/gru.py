@@ -44,9 +44,13 @@ _SUBLANES = 8
 
 
 def gru_kernel_supported(batch: int, seq_len: int, hidden: int) -> bool:
-  """Tile-friendly shapes (else FastGRU's lax.scan path runs)."""
-  return (hidden % _LANES == 0 and batch % _SUBLANES == 0 and
-          seq_len >= 8)
+  """Tile-friendly shapes (else FastGRU's lax.scan path runs).
+
+  Any batch size works: callers zero-pad the (independent) batch rows up
+  to the 8-row sublane tile (see nn/layers.py FastGRU).
+  """
+  del batch
+  return hidden % _LANES == 0 and seq_len >= 8
 
 
 def _pick_block_t(seq_len: int, max_block: int = 8) -> int:

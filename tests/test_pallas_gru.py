@@ -43,7 +43,9 @@ def test_supported_shapes():
   assert gru_kernel_supported(64, 1000, 512)
   assert gru_kernel_supported(8, 24, 128)
   assert not gru_kernel_supported(64, 1000, 100)  # H not lane-aligned
-  assert not gru_kernel_supported(3, 1000, 512)   # batch not sublane-aligned
+  # Off-sublane batches are supported via zero-padding in FastGRU.
+  assert gru_kernel_supported(3, 1000, 512)
+  assert not gru_kernel_supported(8, 4, 128)      # too short to matter
 
 
 @pytest.mark.parametrize('t', [24, 25])  # block 8 and odd (block 1)
@@ -112,6 +114,30 @@ def test_fastgru_uses_kernel_when_forced():
   for a, b in zip(jax.tree_util.tree_leaves(g_pal),
                   jax.tree_util.tree_leaves(g_scan)):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-6, rtol=1e-5)
+
+
+@pytest.mark.parametrize('b', [1, 4, 6])
+def test_fastgru_pads_off_sublane_batch(b):
+  """Batches that aren't a multiple of 8 run zero-padded, same numbers."""
+  from ddsp_tpu.nn import layers as L
+  rng = np.random.RandomState(11)
+  x = jnp.asarray(rng.randn(b, 16, 64).astype(np.float32) * 0.3)
+  m_scan = L.FastGRU(128, use_pallas=False)
+  m_pal = L.FastGRU(128, use_pallas=True)
+  v = m_scan.init(jax.random.PRNGKey(0), x)
+  y_pal, hf_pal = m_pal.apply(v, x, return_state=True)
+  y_scan, hf_scan = m_scan.apply(v, x, return_state=True)
+  assert y_pal.shape == (b, 16, 128) and hf_pal.shape == (b, 128)
+  np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_scan),
+                             atol=1e-6, rtol=1e-6)
+  np.testing.assert_allclose(np.asarray(hf_pal), np.asarray(hf_scan),
+                             atol=1e-6, rtol=1e-6)
+  g_scan = jax.grad(lambda v: jnp.mean(m_scan.apply(v, x)**2))(v)
+  g_pal = jax.grad(lambda v: jnp.mean(m_pal.apply(v, x)**2))(v)
+  for a, c in zip(jax.tree_util.tree_leaves(g_pal),
+                  jax.tree_util.tree_leaves(g_scan)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                atol=1e-6, rtol=1e-5)
 
 
