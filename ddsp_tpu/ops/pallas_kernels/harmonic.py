@@ -17,13 +17,16 @@ mirrored fused backward (d_phase per sample; d_amplitude accumulated per
 Layout: samples are viewed as rows of width W on the 128-wide lane axis.
   * hop % 128 == 0: one hop per row, W = hop. Each sample needs the 2
     amplitude taps of frames k / k+1.
-  * hop in {32, 64} (128 % hop == 0): P = 128 // hop consecutive hops are
-    packed per row, W = 128. A row spanning hops [P*r, P*r+P) needs the
-    P+1 frames [P*r, P*r+P]; tap j's interpolation weight is nonzero only
-    on lane segments j (fall) and j-1 (rise), so the per-sample amplitude
-    is a sum of P+1 per-row scalars times fixed lane-weight vectors. This
-    covers the canonical presets (time_steps=1000 over 64000 samples ->
-    hop 64) that a hop-aligned-only kernel would miss.
+  * otherwise, when gcd(hop, 128) >= 32: P = 128 // gcd consecutive hops
+    are packed per lane-aligned row, W = P * hop (a multiple of 128). A
+    row spanning hops [P*r, P*r+P) needs the P+1 frames [P*r, P*r+P];
+    tap j's interpolation weight is nonzero only on lane segments j
+    (fall) and j-1 (rise), so the per-sample amplitude is a sum of P+1
+    per-row scalars times fixed lane-weight vectors. This covers the
+    canonical presets (time_steps=1000 over 64000 samples -> hop 64,
+    P=2 W=128) and the 50 Hz VST streaming hops (320 @ 16 kHz -> P=2
+    W=640; 960 @ 48 kHz -> P=2 W=1920) that a hop-aligned-only kernel
+    would miss.
 The frame-amplitude taps are pre-gathered outside the kernel into
 [batch, P+1, n_rows, 128-lane harmonics] so the kernel does no gathers.
 
@@ -64,11 +67,21 @@ def _pick_block_rows(n_rows: int) -> int:
 
 
 def _packing(hop: int) -> Optional[Tuple[int, int]]:
-  """(P hops-per-row, W row width) for a supported hop, else None."""
-  if hop >= 128 and hop % _LANES == 0:
+  """(P hops-per-row, W row width) for a supported hop, else None.
+
+  Any hop whose gcd with the 128-lane width is >= 32 packs P = 128/gcd
+  hops per row of width W = P*hop (a multiple of 128, so rows stay
+  lane-aligned). P=1 hops (hop % 128 == 0) use the resident-taps layout;
+  packed rows bound the tap count at P+1 <= 5. Covers hop 64 (canonical
+  1000-frame presets), 32, and the 50 Hz VST hops 320 (16 kHz) and
+  960 (48 kHz).
+  """
+  if hop % _LANES == 0:
     return 1, hop
-  if hop in (32, 64):
-    return _LANES // hop, _LANES
+  g = np.gcd(hop, _LANES)
+  if g >= 32:
+    p = _LANES // g
+    return p, p * hop
   return None
 
 

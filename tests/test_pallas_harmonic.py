@@ -51,6 +51,9 @@ class TestFusedHarmonic:
     assert harmonic_kernel_supported(64000, 500, 60)
     assert harmonic_kernel_supported(64000, 1000, 100)  # hop 64 (packed 2/row)
     assert harmonic_kernel_supported(64000, 2000, 60)   # hop 32 (packed 4/row)
+    assert harmonic_kernel_supported(64320, 201, 60)    # VST 16k: hop 320
+    assert harmonic_kernel_supported(192960, 201, 60)   # VST 48k: hop 960
+    assert harmonic_kernel_supported(7680, 40, 60)      # hop 192 (P=2 W=384)
     assert not harmonic_kernel_supported(64000, 250, 200)  # >128 harmonics
     assert not harmonic_kernel_supported(64000, 251, 100)  # non-divisible
     assert not harmonic_kernel_supported(16000, 1000, 100)  # hop 16
@@ -75,7 +78,20 @@ class TestFusedHarmonic:
     b = np.asarray(_pallas(f0, amps, hd, n, method))
     np.testing.assert_allclose(a, b, atol=4e-3)
 
-  @pytest.mark.parametrize('hop', [32, 64])
+  @pytest.mark.parametrize('method', ['window', 'linear'])
+  @pytest.mark.parametrize('hop', [96, 320])
+  def test_matches_jnp_forward_wide_packed_rows(self, method, hop):
+    # hop not dividing 128 but gcd(hop, 128) >= 32: rows wider than one
+    # 128-lane tile (hop 320 = the 50 Hz VST hop at 16 kHz -> W=640;
+    # hop 96 -> P=4, W=384).
+    t = 15
+    n = t * hop
+    f0, amps, hd = _controls(t=t, h=12)
+    a = np.asarray(_jnp(f0, amps, hd, n, method))
+    b = np.asarray(_pallas(f0, amps, hd, n, method))
+    np.testing.assert_allclose(a, b, atol=4e-3)
+
+  @pytest.mark.parametrize('hop', [32, 64, 320])
   def test_matches_jnp_gradients_packed_hops(self, hop):
     t = 24
     n = t * hop
