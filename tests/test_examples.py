@@ -20,3 +20,23 @@ def test_train_vst_example(tmp_path):
       '--steps', '2', '--stream_hops', '4', '--platform', 'cpu',
       '--save_dir', str(tmp_path / 'vst')])
   assert rms >= 0.0
+
+
+@pytest.mark.slow
+def test_tutorial_synths_and_effects(tmp_path):
+  from examples import tutorial_synths_and_effects
+  rms = tutorial_synths_and_effects.main([
+      '--seconds', '0.1', '--platform', 'cpu',
+      '--save_dir', str(tmp_path / 'synths')])
+  assert rms > 0.0
+  assert (tmp_path / 'synths' / '1_chorus.wav').exists()
+
+
+@pytest.mark.slow
+def test_tutorial_processor_group(tmp_path):
+  from examples import tutorial_processor_group
+  rms = tutorial_processor_group.main([
+      '--seconds', '0.1', '--platform', 'cpu',
+      '--save_dir', str(tmp_path / 'pg')])
+  assert rms > 0.0
+  assert (tmp_path / 'pg' / 'rewired.wav').exists()
