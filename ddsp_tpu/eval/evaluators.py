@@ -8,6 +8,7 @@ MidiAutoencoderEvaluator:172, MidiHeuristicEvaluator:218).
 from __future__ import annotations
 
 import logging
+import os
 from typing import Any, Dict
 
 import numpy as np
@@ -156,6 +157,16 @@ class MidiAutoencoderEvaluator(BaseEvaluator):
         summaries.sample_batch(save_dir, step, batch,
                                np.asarray(outputs[k]), self._sample_rate,
                                name=k)
+    # Pitch / loudness / synth-param inspection plots
+    # (reference summaries.py:254-400 midiae_*_summary).
+    out_dir = os.path.join(save_dir, 'samples', f'step_{step}')
+    if self._f0_key in batch:
+      summaries.midiae_f0_summary(out_dir, np.asarray(batch[self._f0_key]),
+                                  outputs)
+    if self._db_key in batch:
+      summaries.midiae_ld_summary(out_dir, np.asarray(batch[self._db_key]),
+                                  outputs, db_key=self._db_key)
+    summaries.midiae_sp_summary(out_dir, outputs)
 
   def flush(self, step):
     return self._midi_metrics.flush(step)

@@ -8,4 +8,5 @@ from ddsp_tpu.infer.inference import VSTStatelessPredictControls  # noqa: F401
 from ddsp_tpu.infer.inference import VSTSynthesize  # noqa: F401
 from ddsp_tpu.infer.inference import VSTSynthesizeHarmonic  # noqa: F401
 from ddsp_tpu.infer.inference import VSTSynthesizeNoise  # noqa: F401
+from ddsp_tpu.infer.export import export_impulse_response  # noqa: F401
 from ddsp_tpu.infer.export import export_model  # noqa: F401

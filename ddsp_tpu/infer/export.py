@@ -106,3 +106,52 @@ def export_model(save_dir: str, export_dir: str,
         "part of this environment. Use fmt='params' or 'stablehlo'.")
   else:
     raise ValueError(f'Unknown export format {fmt!r}')
+
+
+def export_impulse_response(save_dir: str, export_dir: str,
+                            target_sr: int = None) -> str:
+  """Extract a trained model's reverb impulse response and save it as wav.
+
+  Mirrors reference ddsp_export.py:273 (export_impulse_response): restore
+  the autoencoder with its room reverb intact, run one silent forward pass,
+  and pull the 'ir' control out of the reverb processor's outputs.
+
+  Args:
+    save_dir: Train directory (operative spec + orbax checkpoints).
+    export_dir: Output directory for reverb_ir_<sr>_hz.wav.
+    target_sr: Optionally also write a linearly-resampled copy at this rate.
+
+  Returns:
+    Path of the impulse-response wav at the model's native sample rate.
+  """
+  from ddsp_tpu.eval.summaries import write_wav
+  from ddsp_tpu.infer.inference import AutoencoderInference
+
+  model = AutoencoderInference(save_dir, length_seconds=1,
+                               remove_reverb=False)
+  sr = model.sample_rate
+  outputs = model({
+      'f0_hz': np.full((model.n_frames,), 220.0, np.float32),
+      'loudness_db': np.full((model.n_frames,), -40.0, np.float32),
+  })
+  ir = None
+  for value in outputs.values():
+    if isinstance(value, dict) and 'ir' in value.get('controls', {}):
+      ir = np.asarray(value['controls']['ir'])[0]
+      break
+  if ir is None:
+    raise ValueError(f'No reverb processor with an "ir" control found in '
+                     f'the model restored from {save_dir!r}')
+  print(f'Reverb impulse response is {ir.shape[0] / sr:.3f} seconds long')
+
+  os.makedirs(export_dir, exist_ok=True)
+  path = os.path.join(export_dir, f'reverb_ir_{sr}_hz.wav')
+  write_wav(path, ir, sr)
+  if target_sr is not None and target_sr != sr:
+    from ddsp_tpu.ops.resample import resample
+    n_target = int(round(ir.shape[0] * target_sr / sr))
+    ir_rs = np.asarray(resample(jnp.asarray(ir)[jnp.newaxis, :], n_target,
+                                method='linear', add_endpoint=False))[0]
+    write_wav(os.path.join(export_dir, f'reverb_ir_{target_sr}_hz.wav'),
+              ir_rs, target_sr)
+  return path

@@ -16,4 +16,5 @@ from ddsp_tpu.losses.consistency import wasserstein_distance  # noqa: F401
 from ddsp_tpu.losses.consistency import WassersteinConsistencyLoss  # noqa: F401
 from ddsp_tpu.losses.hmm_transcriber import HmmTranscriber  # noqa: F401
 from ddsp_tpu.losses.twm import TWMLoss  # noqa: F401
+from ddsp_tpu.losses.crepe_embedding import EmbeddingLoss  # noqa: F401,E402
 from ddsp_tpu.losses.crepe_embedding import PretrainedCREPEEmbeddingLoss  # noqa: F401,E402

@@ -31,7 +31,40 @@ _LAYER_SCALES = {
 }
 
 
-class PretrainedCREPEEmbeddingLoss(Loss):
+class EmbeddingLoss(Loss):
+  """Perceptual loss on activations of a frozen pretrained model.
+
+  Reference behavior: losses.py:361 (EmbeddingLoss). Comparing audio in a
+  pretrained model's feature space rewards matching harmonic structure that
+  plain spectral losses blur out. Subclasses provide the embedding by
+  overriding `_embedding(audio) -> [batch, frames, depth]`; the loss is
+  `weight * scale * mean_difference` between target and synth embeddings,
+  with the target's embedding detached.
+
+  Attributes:
+    weight: Loss weight.
+    loss_type: Distance type ('L1', 'L2', 'COSINE').
+    scale: Extra multiplier applied on top of weight (layer balancing).
+  """
+
+  weight: float = 1.0
+  loss_type: str = 'L1'
+  scale: float = 1.0
+
+  def _embedding(self, audio: Array) -> Array:
+    raise NotImplementedError
+
+  def __call__(self, target_audio: Array, audio: Array) -> Array:
+    loss = 0.0
+    if self.weight > 0.0:
+      target_emb = jax.lax.stop_gradient(self._embedding(target_audio))
+      synth_emb = self._embedding(audio)
+      loss = (self.scale * self.weight *
+              mean_difference(target_emb, synth_emb, self.loss_type))
+    return loss
+
+
+class PretrainedCREPEEmbeddingLoss(EmbeddingLoss):
   """L1 loss between frozen-CREPE activations of two audio signals.
 
   Attributes:
@@ -56,7 +89,9 @@ class PretrainedCREPEEmbeddingLoss(Loss):
       raise ValueError(
           f'activation layer {self.activation_layer} not found, valid '
           f'names are {sorted(_LAYER_SCALES)}')
-    object.__setattr__(self, 'scale', _LAYER_SCALES[self.activation_layer])
+    # 20x base scaling plus the per-layer balance factor (losses.py:398).
+    object.__setattr__(self, 'scale',
+                       20.0 * _LAYER_SCALES[self.activation_layer])
     crepe = CrepeModel(model_capacity=self.model_capacity,
                        activation_layer=self.activation_layer)
     if self.weights_path:
@@ -91,12 +126,3 @@ class PretrainedCREPEEmbeddingLoss(Loss):
     flat = jnp.reshape(frames, (-1, frame_length))
     acts = self._crepe.apply(self._crepe_variables, flat)
     return jnp.reshape(acts, (batch_size, n_frames, -1))
-
-  def __call__(self, target_audio: Array, audio: Array) -> Array:
-    loss = 0.0
-    if self.weight > 0.0:
-      target_emb = jax.lax.stop_gradient(self._embedding(target_audio))
-      synth_emb = self._embedding(audio)
-      loss = (20.0 * self.scale * self.weight *
-              mean_difference(target_emb, synth_emb, self.loss_type))
-    return loss

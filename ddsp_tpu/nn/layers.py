@@ -377,6 +377,14 @@ class FcStackOut(nn.Module):
     return nn.Dense(self.n_out)(x)
 
 
+class Identity(nn.Module):
+  """Pass-through module (reference nn.py:939), e.g. a no-op norm slot."""
+
+  @nn.compact
+  def __call__(self, x: Array) -> Array:
+    return x
+
+
 class Embedding(nn.Module):
   """Real-valued embedding lookup from an integer (e.g. instrument id)."""
 

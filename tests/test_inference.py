@@ -119,6 +119,19 @@ class TestAutoencoderInference:
     assert os.path.getsize(hlo_path) > 1000
 
 
+  def test_export_impulse_response(self, ae_ckpt_dir, tmp_path):
+    out = str(tmp_path / 'ir')
+    path = infer.export_impulse_response(ae_ckpt_dir, out, target_sr=8000)
+    import wave
+    with wave.open(path) as w:
+      assert w.getframerate() == SR
+      assert w.getnframes() == 1000  # reverb_length of the fixture
+    resampled = os.path.join(out, 'reverb_ir_8000_hz.wav')
+    with wave.open(resampled) as w:
+      assert w.getframerate() == 8000
+      assert w.getnframes() == 500
+
+
 class TestVSTStreaming:
 
   def test_extract_features(self, vst_ckpt_dir):

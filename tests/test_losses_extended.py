@@ -237,3 +237,42 @@ class TestLossGroupWithNewLosses:
     # freq_loss is in MIDI: octave apart = 12.
     np.testing.assert_allclose(float(losses.freq_loss(f, 2 * f)), 12.0,
                                rtol=1e-4)
+
+
+class TestEmbeddingLossBase:
+
+  def test_subclass_embedding_distance(self):
+    class FrameEmbedding(losses.EmbeddingLoss):
+      """Trivial embedding: non-overlapping 4-sample frames."""
+
+      def _embedding(self, audio):
+        return jnp.reshape(audio, (audio.shape[0], -1, 4))
+
+    audio_a = jnp.asarray(RNG.randn(2, 64).astype(np.float32))
+    audio_b = jnp.asarray(RNG.randn(2, 64).astype(np.float32))
+    loss_fn = FrameEmbedding(weight=2.0, scale=3.0, loss_type='L1')
+    got = float(loss_fn(audio_a, audio_b))
+    want = 6.0 * float(jnp.mean(jnp.abs(audio_a - audio_b)))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # Identical inputs and zero weight are both exactly zero.
+    assert float(loss_fn(audio_a, audio_a)) == 0.0
+    assert float(FrameEmbedding(weight=0.0)(audio_a, audio_b)) == 0.0
+
+  def test_target_embedding_detached(self):
+    class FrameEmbedding(losses.EmbeddingLoss):
+
+      def _embedding(self, audio):
+        return jnp.reshape(audio, (audio.shape[0], -1, 4))
+
+    loss_fn = FrameEmbedding(weight=1.0)
+    audio = jnp.asarray(RNG.randn(1, 16).astype(np.float32))
+    target = jnp.asarray(RNG.randn(1, 16).astype(np.float32))
+    # Gradient flows into the synthesized audio but not the target.
+    g_target = jax.grad(lambda t: loss_fn(t, audio))(target)
+    g_audio = jax.grad(lambda a: loss_fn(target, a))(audio)
+    assert float(jnp.abs(g_target).max()) == 0.0
+    assert float(jnp.abs(g_audio).max()) > 0.0
+
+  def test_crepe_loss_inherits_base(self):
+    assert issubclass(losses.PretrainedCREPEEmbeddingLoss,
+                      losses.EmbeddingLoss)

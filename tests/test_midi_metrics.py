@@ -155,3 +155,53 @@ class TestEvaluators:
     # TWM picks 220 among the partials -> near-zero distance, high RPA.
     key = [k for k in results if 'raw_pitch_accuracy' in k]
     assert key and results[key[0]] > 0.9
+
+
+class TestMidiAESummaries:
+
+  def _outputs(self, t=100, k=8, m=5):
+    rng = np.random.RandomState(0)
+    return {
+        'q_pitch': np.full((1, t, 1), 57.0, np.float32),
+        'q_vel': np.full((1, t, 1), 4.0, np.float32),
+        'f0_midi_pred': np.full((1, t, 1), 57.2, np.float32),
+        'z_pitch': np.full((1, t, 1), 56.9, np.float32),
+        'amps': rng.rand(1, t, 1).astype(np.float32),
+        'hd': rng.rand(1, t, k).astype(np.float32),
+        'noise': rng.rand(1, t, m).astype(np.float32),
+        'amps_pred': rng.rand(1, t, 1).astype(np.float32),
+        'hd_pred': rng.rand(1, t, k).astype(np.float32),
+        'noise_pred': rng.rand(1, t, m).astype(np.float32),
+        'loudness_db_pred': np.full((1, t, 1), -30.0, np.float32),
+    }
+
+  def test_summary_artifacts(self, tmp_path):
+    pytest.importorskip('matplotlib')
+    from ddsp_tpu.eval import summaries
+    out = str(tmp_path)
+    outputs = self._outputs()
+    f0_hz = np.full((1, 100, 1), 220.0, np.float32)
+    ld = np.full((1, 100, 1), -35.0, np.float32)
+    summaries.midiae_f0_summary(out, f0_hz, outputs)
+    summaries.midiae_ld_summary(out, ld, outputs)
+    summaries.midiae_sp_summary(out, outputs)
+    import os
+    for name in ['0_midiae_f0.png', '0_midiae_ld.png', '0_midiae_amps.png',
+                 '0_midiae_hd.png', '0_midiae_noise.png']:
+      assert os.path.exists(os.path.join(out, name)), name
+
+  def test_evaluator_sample_writes_plots(self, tmp_path):
+    pytest.importorskip('matplotlib')
+    import os
+    t = 100
+    outputs = self._outputs(t=t)
+    outputs['pianoroll'] = np.zeros((1, t, 128), np.float32)
+    outputs['synth_audio'] = np.zeros((1, 4000), np.float32)
+    batch = {'audio': np.zeros((1, 4000), np.float32),
+             'f0_hz': np.full((1, t, 1), 220.0, np.float32),
+             'loudness_db': np.full((1, t, 1), -35.0, np.float32)}
+    ev = evaluators.MidiAutoencoderEvaluator(frame_rate=25)
+    ev.sample(batch, outputs, str(tmp_path), step=3)
+    out_dir = os.path.join(str(tmp_path), 'samples', 'step_3')
+    assert os.path.exists(os.path.join(out_dir, '0_midiae_f0.png'))
+    assert os.path.exists(os.path.join(out_dir, '0_midiae_hd.png'))

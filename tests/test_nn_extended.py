@@ -287,3 +287,11 @@ class TestSmallLayers:
     mod = dnn.Embedding(vocab_size=10, n_dims=6)
     variables = mod.init(jax.random.PRNGKey(0), idx)
     assert mod.apply(variables, idx).shape == (2, 1, 6)
+
+
+class TestIdentity:
+
+  def test_passthrough(self):
+    x = jnp.asarray(RNG.randn(2, 5).astype(np.float32))
+    y, _ = dnn.Identity().init_with_output(jax.random.PRNGKey(0), x)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
