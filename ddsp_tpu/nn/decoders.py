@@ -68,7 +68,8 @@ class RnnFcDecoder(nn_layers.DictModule):
         for i in range(n_stacks)
     ]
     if self.stateless:
-      self.rnn = nn_layers.StatelessRnn(self.rnn_channels, self.rnn_type)
+      self.rnn = nn_layers.StatelessRnn(self.rnn_channels, self.rnn_type,
+                                        compute_dtype=self.compute_dtype)
     else:
       self.rnn = nn_layers.Rnn(self.rnn_channels, self.rnn_type,
                                compute_dtype=self.compute_dtype)

@@ -250,9 +250,11 @@ class FastGRU(nn.Module):
     return ys
 
 
-def _rnn_cell(rnn_type: str, dims: int):
+def _rnn_cell(rnn_type: str, dims: int, compute_dtype: str = 'float32'):
   cells = {'lstm': nn.OptimizedLSTMCell, 'gru': nn.GRUCell}
-  return cells[rnn_type](features=dims)
+  # flax cells take a computation `dtype` (params stay `param_dtype`
+  # float32), mirroring FastGRU's bf16-compute/f32-param split.
+  return cells[rnn_type](features=dims, dtype=jnp.dtype(compute_dtype))
 
 
 class Rnn(nn.Module):
@@ -275,19 +277,22 @@ class Rnn(nn.Module):
   @nn.compact
   def __call__(self, x: Array) -> Array:
     if self.bidir:
-      fwd = nn.RNN(_rnn_cell(self.rnn_type, self.dims), unroll=self.unroll)
-      bwd = nn.RNN(_rnn_cell(self.rnn_type, self.dims), reverse=True,
-                   keep_order=True, unroll=self.unroll)
+      fwd = nn.RNN(_rnn_cell(self.rnn_type, self.dims, self.compute_dtype),
+                   unroll=self.unroll)
+      bwd = nn.RNN(_rnn_cell(self.rnn_type, self.dims, self.compute_dtype),
+                   reverse=True, keep_order=True, unroll=self.unroll)
       y = jnp.concatenate([fwd(x), bwd(x)], axis=-1)
     elif self.rnn_type == 'gru' and self.use_fast_gru:
       y = FastGRU(self.dims, unroll=self.unroll,
                   compute_dtype=self.compute_dtype)(x)
     else:
-      y = nn.RNN(_rnn_cell(self.rnn_type, self.dims),
+      y = nn.RNN(_rnn_cell(self.rnn_type, self.dims, self.compute_dtype),
                  unroll=self.unroll)(x)
     if not self.return_sequences:
       y = y[:, -1]
-    return y
+    # flax cells emit activations in their computation dtype; restore the
+    # float32 output contract downstream layers assume.
+    return y.astype(jnp.float32)
 
 
 class StatelessRnn(nn.Module):
@@ -297,6 +302,7 @@ class StatelessRnn(nn.Module):
   rnn_type: str = 'gru'
   unroll: int = 16
   use_fast_gru: bool = True
+  compute_dtype: str = 'float32'
 
   @nn.compact
   def __call__(self, x: Array, state: Array) -> Tuple[Array, Array]:
@@ -310,15 +316,17 @@ class StatelessRnn(nn.Module):
       (y, new_state): y [batch, time, dims], new_state [batch, dims].
     """
     if self.rnn_type == 'gru' and self.use_fast_gru:
-      return FastGRU(self.dims, unroll=self.unroll)(
+      return FastGRU(self.dims, unroll=self.unroll,
+                     compute_dtype=self.compute_dtype)(
           x, initial_state=state, return_state=True)
     # LSTM carry is (c, h); split a packed [batch, 2*dims] state.
-    cell = _rnn_cell(self.rnn_type, self.dims)
+    cell = _rnn_cell(self.rnn_type, self.dims, self.compute_dtype)
     carry = (state[..., :self.dims], state[..., self.dims:])
     final_carry, y = nn.RNN(cell, return_carry=True, unroll=self.unroll)(
         x, initial_carry=carry)
     new_state = jnp.concatenate(final_carry, axis=-1)
-    return y, new_state
+    # Restore the float32 contract for streaming state round-trips.
+    return y.astype(jnp.float32), new_state.astype(jnp.float32)
 
 
 class RnnFc(nn.Module):

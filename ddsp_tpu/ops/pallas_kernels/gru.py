@@ -43,14 +43,42 @@ _LANES = 128
 _SUBLANES = 8
 
 
-def gru_kernel_supported(batch: int, seq_len: int, hidden: int) -> bool:
-  """Tile-friendly shapes (else FastGRU's lax.scan path runs).
+# Per-core VMEM budget the kernels must fit in (v5e has 16 MiB scoped
+# VMEM; leave headroom for Mosaic's own temporaries).
+_VMEM_BUDGET_BYTES = int(16 * 1024 * 1024 * 0.9)
 
-  Any batch size works: callers zero-pad the (independent) batch rows up
-  to the 8-row sublane tile (see nn/layers.py FastGRU).
+
+def _pad8(batch: int) -> int:
+  return -(-batch // _SUBLANES) * _SUBLANES
+
+
+def _fwd_vmem_bytes(block_t: int, batch: int, h_dim: int) -> int:
+  # Double-buffered streams (xp in, ys out) + resident wh/h0/scratch/bn.
+  b = _pad8(batch)
+  return 4 * (2 * block_t * b * 3 * h_dim + 2 * block_t * b * h_dim +
+              3 * h_dim * h_dim + 2 * b * h_dim + 2 * h_dim)
+
+
+def _bwd_vmem_bytes(block_t: int, batch: int, h_dim: int) -> int:
+  # Streams: g + xp + h_prev in, dxp out (all double-buffered); resident
+  # wh + dwh accumulator + dh0 + scratch + biases.
+  b = _pad8(batch)
+  return 4 * (2 * block_t * b * 5 * h_dim + 2 * block_t * b * 3 * h_dim +
+              6 * h_dim * h_dim + 2 * b * h_dim + 4 * h_dim)
+
+
+def gru_kernel_supported(batch: int, seq_len: int, hidden: int) -> bool:
+  """Tile-friendly shapes that fit VMEM (else FastGRU's lax.scan runs).
+
+  Batch rows are independent, so callers zero-pad them up to the 8-row
+  sublane tile (see nn/layers.py FastGRU); but VMEM scales with
+  batch x hidden, so shapes whose backward cannot fit the scoped-VMEM
+  budget even at block_t=1 (e.g. H=1024 at B=64, where the resident
+  wh + dwh alone take 6*H^2 floats) fall back to the scan path instead
+  of failing at Mosaic compile time.
   """
-  del batch
-  return hidden % _LANES == 0 and seq_len >= 8
+  return (hidden % _LANES == 0 and seq_len >= 8 and
+          _bwd_vmem_bytes(1, batch, hidden) <= _VMEM_BUDGET_BYTES)
 
 
 def _pick_block_t(seq_len: int, max_block: int = 8) -> int:
@@ -58,6 +86,16 @@ def _pick_block_t(seq_len: int, max_block: int = 8) -> int:
     if b <= max_block and seq_len % b == 0:
       return b
   return 1
+
+
+def _pick_block_t_vmem(seq_len: int, batch: int, h_dim: int, vmem_fn,
+                       max_block: int = 8) -> int:
+  """Largest divisor block_t whose kernel footprint fits the budget."""
+  while (max_block > 1 and
+         vmem_fn(_pick_block_t(seq_len, max_block), batch, h_dim) >
+         _VMEM_BUDGET_BYTES):
+    max_block = _pick_block_t(seq_len, max_block) // 2
+  return _pick_block_t(seq_len, max_block)
 
 
 def _gates(xp_t, hp, bn, h_dim):
@@ -237,7 +275,8 @@ def fused_gru(xp: Array, wh: Array, bn: Array, h0: Array,
 
 
 def _run_fwd(xp, wh, bn, h0, interpret):
-  block_t = _pick_block_t(xp.shape[1])
+  block_t = _pick_block_t_vmem(xp.shape[1], xp.shape[0], wh.shape[0],
+                               _fwd_vmem_bytes)
   xp_t_major = jnp.swapaxes(xp, 0, 1)
   ys_t_major = _pallas_gru_fwd(h0, xp_t_major, wh,
                                bn.reshape(1, -1), block_t=block_t,
@@ -256,8 +295,10 @@ def _fused_gru_bwd(interpret, residuals, cotangents):
   g_ys, g_hfinal = cotangents
   # The backward streams four block arrays (g, xp, h_prev, dxp) plus the
   # resident wh and the dwh accumulator; block_t 8 overflows the 16 MB
-  # scoped VMEM at the canonical H=512/B=64 shape, 4 fits.
-  block_t = _pick_block_t(xp.shape[1], max_block=4)
+  # scoped VMEM at the canonical H=512/B=64 shape, 4 fits — and larger
+  # batches shrink block_t further to stay inside the budget.
+  block_t = _pick_block_t_vmem(xp.shape[1], xp.shape[0], wh.shape[0],
+                               _bwd_vmem_bytes, max_block=4)
 
   g_t_major = jnp.swapaxes(g_ys, 0, 1)
   # The final carry is ys[:, -1]: fold its cotangent into the last step.

@@ -346,7 +346,8 @@ def compute_loudness(audio: Array,
                      n_fft: int = 512,
                      range_db: float = DB_RANGE,
                      ref_db: float = 0.0,
-                     padding: str = 'center') -> Array:
+                     padding: str = 'center',
+                     use_matmul: Optional[bool] = None) -> Array:
   """Perceptual loudness (A-weighted power) in dB. Differentiable.
 
   Args:
@@ -357,6 +358,8 @@ def compute_loudness(audio: Array,
     range_db: Dynamic range of loudness in decibels.
     ref_db: Reference maximum perceptual loudness.
     padding: 'same', 'valid', or 'center'.
+    use_matmul: Compute the A-weighted power as one quadratic-form GEMM
+      instead of per-frame FFTs. Default (None) picks the GEMM on TPU.
 
   Returns:
     Loudness in decibels, shape [batch_size, n_frames] or [n_frames].
@@ -369,19 +372,23 @@ def compute_loudness(audio: Array,
   if is_1d:
     audio = audio[jnp.newaxis, :]
 
-  frequencies = tuple(fft_frequencies(sample_rate, n_fft).tolist())
+  # Both branches transform on the enclosing power-of-two grid (stft pads
+  # its frames the same way), so derive the A-weights on those bin centers
+  # — with a non-pow2 n_fft the spectrum simply gets sampled more densely.
+  fft_size = int(2**np.ceil(np.log2(frame_size)))
+  frequencies = tuple(fft_frequencies(sample_rate, fft_size).tolist())
   a_weighting = a_weighting_np(frequencies)
   # Perform weighting in linear scale; a_weighting given in decibels.
   weighting = 10**(a_weighting / 10)
-  n_bins = n_fft // 2 + 1
+  n_bins = fft_size // 2 + 1
 
-  import jax  # pylint: disable=g-import-not-at-top
-  if jax.default_backend() == 'tpu':
+  if use_matmul is None:
+    use_matmul = jax.default_backend() == 'tpu'
+  if use_matmul:
     # A-weighted average power is a fixed quadratic form of the windowed
     # frame; one MXU GEMM replaces the per-frame FFTs (~5x on the
     # canonical batch-64 preprocessor; see fft_matmul).
     from ddsp_tpu.ops import fft_matmul  # pylint: disable=g-import-not-at-top
-    fft_size = int(2**np.ceil(np.log2(frame_size)))
     frames = fftconv.frame(audio, frame_size, hop_size, pad_end=False)
     frames = frames * fftconv.hann_window(frame_size)
     avg_power = fft_matmul.matmul_weighted_power(

@@ -18,6 +18,7 @@ import argparse
 import json
 import logging
 import os
+import re
 import sys
 
 
@@ -64,10 +65,17 @@ def build_data_provider(spec: str, n_samples: int, sample_rate: int,
       kwargs['data_dir'] = data_dir
     return data_lib.NSynthTfds(**kwargs)
   elif kind == 'tfds':
-    # 'tfds:<name>:<split>[:data_dir]' - any TFDS dataset with the
-    # canonical audio/f0_hz/f0_confidence/loudness_db features.
+    # 'tfds:<name>[:<version>]:<split>[:data_dir]' - any TFDS dataset with
+    # the canonical audio/f0_hz/f0_confidence/loudness_db features. A
+    # version-like segment (e.g. '2.3.0') after the name is folded back
+    # into the TFDS name, so versioned names like
+    # 'nsynth/gansynth_subset.f0_and_loudness:2.3.0' parse correctly.
     name, _, rest = arg.partition(':')
-    split, _, data_dir = rest.partition(':')
+    head, _, tail = rest.partition(':')
+    if re.fullmatch(r'\d+(\.\d+)*', head or ''):
+      name, rest = f'{name}:{head}', tail
+      head, _, tail = rest.partition(':')
+    split, data_dir = head, tail.partition(':')[0]
     return data_lib.TfdsProvider(name, split or 'train',
                                  data_dir=data_dir or None,
                                  sample_rate=sample_rate,

@@ -207,3 +207,31 @@ class TestComputeDtype:
       outs[dt] = np.asarray(o['harmonic_distribution'])
     scale = np.abs(outs['float32']).max() + 1e-9
     assert np.abs(outs['bfloat16'] - outs['float32']).max() / scale < 0.1
+
+  def test_bf16_honored_on_all_rnn_branches(self):
+    """bidir, non-fast GRU, LSTM, and StatelessRnn all run bf16 compute
+    with float32 params and float32 outputs (no silent ignore)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ddsp_tpu.nn import layers as nn_layers
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(2, 16, 8).astype(np.float32))
+    for mod in (
+        nn_layers.Rnn(dims=16, bidir=True, compute_dtype='bfloat16'),
+        nn_layers.Rnn(dims=16, use_fast_gru=False,
+                      compute_dtype='bfloat16'),
+        nn_layers.Rnn(dims=16, rnn_type='lstm', compute_dtype='bfloat16'),
+    ):
+      v = mod.init(jax.random.PRNGKey(0), x)
+      assert all(l.dtype == jnp.float32
+                 for l in jax.tree_util.tree_leaves(v))
+      y = mod.apply(v, x)
+      assert y.dtype == jnp.float32
+      assert np.isfinite(np.asarray(y)).all()
+    srnn = nn_layers.StatelessRnn(dims=16, rnn_type='lstm',
+                                  compute_dtype='bfloat16')
+    state = jnp.zeros((2, 32), jnp.float32)
+    v = srnn.init(jax.random.PRNGKey(0), x, state)
+    y, new_state = srnn.apply(v, x, state)
+    assert y.dtype == jnp.float32 and new_state.dtype == jnp.float32

@@ -46,6 +46,11 @@ def test_supported_shapes():
   # Off-sublane batches are supported via zero-padding in FastGRU.
   assert gru_kernel_supported(3, 1000, 512)
   assert not gru_kernel_supported(8, 4, 128)      # too short to matter
+  # VMEM gate: big batches still fit by shrinking block_t, but shapes
+  # whose resident wh+dwh (6*H^2 floats) blow the budget even at
+  # block_t=1 must fall back to the scan path.
+  assert gru_kernel_supported(128, 1000, 512)
+  assert not gru_kernel_supported(64, 1000, 1024)
 
 
 @pytest.mark.parametrize('t', [24, 25])  # block 8 and odd (block 1)
@@ -151,3 +156,23 @@ def test_streaming_state_round_trip():
                              np.asarray(ys_full), atol=1e-6)
   np.testing.assert_allclose(np.asarray(hf_b), np.asarray(hf_full),
                              atol=1e-6)
+
+
+def test_large_batch_shrinks_block_t():
+  """B=128/H=512 must pick a block_t whose backward fits the VMEM budget."""
+  from ddsp_tpu.ops.pallas_kernels import gru as gru_mod
+  blk = gru_mod._pick_block_t_vmem(1000, 128, 512, gru_mod._bwd_vmem_bytes,
+                                   max_block=4)
+  assert gru_mod._bwd_vmem_bytes(blk, 128, 512) <= gru_mod._VMEM_BUDGET_BYTES
+  assert blk >= 1
+  # And the canonical shape keeps its fast block: 4 for bwd, 8 for fwd.
+  assert gru_mod._pick_block_t_vmem(1000, 64, 512, gru_mod._bwd_vmem_bytes,
+                                    max_block=4) == 4
+  assert gru_mod._pick_block_t_vmem(1000, 64, 512,
+                                    gru_mod._fwd_vmem_bytes) == 8
+  # Numerics are block_t-independent: run a batch that forces block 1.
+  xp, wh, bn, h0 = _inputs(t=24, b=11)
+  ys_p, hf_p = fused_gru(xp, wh, bn, h0, True)
+  ys_s, hf_s = _scan_gru(xp, wh, bn, h0)
+  np.testing.assert_allclose(np.asarray(ys_p), np.asarray(ys_s),
+                             atol=1e-6, rtol=1e-6)

@@ -172,6 +172,20 @@ class TestWeightedPowerGemm:
       ld_gemm = np.asarray(spectral_mod.compute_loudness(audio))
     np.testing.assert_allclose(ld_gemm, ld_fft, atol=2e-3)
 
+  def test_compute_loudness_gemm_non_pow2_nfft(self):
+    """The GEMM branch pads non-pow2 n_fft and stays close to the FFT
+    branch (both average A-weighted power on the padded bin grid)."""
+    import jax.numpy as jnp
+    from ddsp_tpu.ops import spectral as spectral_mod
+    rng = np.random.RandomState(3)
+    audio = jnp.asarray(rng.randn(1, 8000).astype(np.float32) * 0.2)
+    ld_fft = np.asarray(spectral_mod.compute_loudness(
+        audio, n_fft=500, frame_rate=250, use_matmul=False))
+    ld_gemm = np.asarray(spectral_mod.compute_loudness(
+        audio, n_fft=500, frame_rate=250, use_matmul=True))
+    assert ld_gemm.shape == ld_fft.shape
+    np.testing.assert_allclose(ld_gemm, ld_fft, atol=2e-3)
+
   def test_stft_mag_bf16_close_to_f32(self):
     """bf16 DFT GEMMs stay within ~0.5% relative of the f32 magnitudes."""
     import jax.numpy as jnp
