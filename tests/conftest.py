@@ -23,3 +23,8 @@ jax.config.update('jax_platforms', 'cpu')
 
 # Make the repo root importable without installation.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pytest_configure(config):
+  config.addinivalue_line(
+      'markers', 'slow: long-running end-to-end tests (full CLI runs)')
