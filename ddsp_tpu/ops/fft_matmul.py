@@ -22,7 +22,7 @@ path for small sizes (where XLA's FFT is fine) and on CPU.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -109,6 +109,11 @@ def matmul_rfft(x: Array, fft_size: int) -> Tuple[Array, Array]:
   Shapes: [..., m] -> ([..., fft_size//2 + 1],) * 2.
   """
   m = x.shape[-1]
+  if m > fft_size:
+    # jnp.fft.rfft would truncate; no caller wants that silently, and the
+    # four-step reshape below would fail with an opaque shape error.
+    raise ValueError(f'matmul_rfft: frame length {m} exceeds fft_size '
+                     f'{fft_size}; crop the input or raise fft_size.')
   if m < fft_size:
     pad = [(0, 0)] * (x.ndim - 1) + [(0, fft_size - m)]
     x = jnp.pad(x, pad)
@@ -309,8 +314,7 @@ def use_matmul_small_fft(fft_size: int) -> bool:
 
 def use_matmul_stft(fft_size: int) -> bool:
   """Magnitude STFT via GEMM pays off at loss sizes on TPU."""
-  return (fft_size <= 4096 and (fft_size & (fft_size - 1)) == 0 and
-          jax.default_backend() == 'tpu')
+  return use_matmul_small_fft(fft_size)
 
 
 def use_matmul_fft(fft_size: int) -> bool:

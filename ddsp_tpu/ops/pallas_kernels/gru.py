@@ -31,11 +31,10 @@ parity with the scan implementation is pinned by tests/test_pallas_gru.py.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 Array = jax.Array
 

@@ -25,6 +25,7 @@ transposes to halo accumulation in the adjoint).
 from __future__ import annotations
 
 import functools
+import itertools
 from typing import Optional
 
 import jax
@@ -33,6 +34,34 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
+
+# Mosaic maps collective_id -> barrier semaphore; exchanges that can be
+# concurrently in flight on different chips must use distinct ids or one
+# exchange's barrier signals can satisfy another's wait. Ids are handed
+# out round-robin at trace time (same order on every device - SPMD), so
+# adjacent exchanges in program order always differ; since each barrier
+# bounds inter-chip drift to one exchange, that suffices.
+_COLLECTIVE_ID_POOL = 16
+_collective_id_counter = itertools.count()
+
+
+def _next_collective_id() -> int:
+  return next(_collective_id_counter) % _COLLECTIVE_ID_POOL
+
+
+def _interpret_needs_xla_fallback() -> bool:
+  """True when the enclosing shard_map mesh has more than one named axis.
+
+  Interpret-mode remote DMA only supports single-axis meshes
+  (`dma_start_p` raises NotImplementedError otherwise), so on CPU test
+  meshes like ('data', 'time') the pallas impl must fall back to the
+  numerically identical XLA ppermute. On hardware MESH device ids address
+  the shifted axis correctly under any mesh, so no fallback is needed.
+  """
+  try:
+    return len(jax.sharding.get_abstract_mesh().shape) > 1
+  except Exception:  # pylint: disable=broad-except
+    return False
 
 
 def _shift_kernel(x_ref, out_ref, comm_buf, send_sem, recv_sem, *,
@@ -45,9 +74,9 @@ def _shift_kernel(x_ref, out_ref, comm_buf, send_sem, recv_sem, *,
 
   Device addressing: on hardware, MESH device ids ({axis: index}; unnamed
   axes keep this device's own coordinate) address the time-axis neighbor
-  under the full ('data', 'time') mesh. The interpret-mode simulator only
-  implements scalar LOGICAL ids over a single named axis, so that form is
-  used there (tests run on a pure 'time' mesh).
+  under the full mesh. The interpret-mode simulator only implements
+  scalar LOGICAL ids over a single named axis (multi-axis meshes take the
+  XLA fallback before reaching this kernel).
   """
   my_id = jax.lax.axis_index(axis_name)
   n = jax.lax.axis_size(axis_name)
@@ -112,30 +141,46 @@ def _shift(x: Array, direction: int, axis_name: str,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def shift_right(x: Array, axis_name: str = 'time',
                 interpret: Optional[bool] = None,
-                collective_id: int = 0) -> Array:
+                collective_id: Optional[int] = None) -> Array:
   """Shard i's x goes to shard i+1; shard 0 receives zeros.
 
   Equivalent to `jax.lax.ppermute(x, axis_name, [(i, i + 1) for i in
   range(n - 1)])`, executed as an in-kernel RDMA to the right ICI
   neighbor. Differentiable (adjoint is shift_left).
+
+  collective_id None (default) allocates a fresh barrier id per call so
+  independent back-to-back exchanges never share a barrier semaphore; the
+  adjoint likewise allocates its own.
   """
   if interpret is None:
     interpret = jax.default_backend() != 'tpu'
+  if interpret and _interpret_needs_xla_fallback():
+    n = jax.lax.axis_size(axis_name)
+    return jax.lax.ppermute(x, axis_name,
+                            [(i, i + 1) for i in range(n - 1)])
+  if collective_id is None:
+    collective_id = _next_collective_id()
   return _shift(x, +1, axis_name, bool(interpret), collective_id)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def shift_left(x: Array, axis_name: str = 'time',
                interpret: Optional[bool] = None,
-               collective_id: int = 0) -> Array:
+               collective_id: Optional[int] = None) -> Array:
   """Shard i's x goes to shard i-1; the last shard receives zeros.
 
   Equivalent to `jax.lax.ppermute(x, axis_name, [(i + 1, i) for i in
   range(n - 1)])` as an in-kernel RDMA. Differentiable (adjoint is
-  shift_right).
+  shift_right). See shift_right for collective_id semantics.
   """
   if interpret is None:
     interpret = jax.default_backend() != 'tpu'
+  if interpret and _interpret_needs_xla_fallback():
+    n = jax.lax.axis_size(axis_name)
+    return jax.lax.ppermute(x, axis_name,
+                            [(i + 1, i) for i in range(n - 1)])
+  if collective_id is None:
+    collective_id = _next_collective_id()
   return _shift(x, -1, axis_name, bool(interpret), collective_id)
 
 

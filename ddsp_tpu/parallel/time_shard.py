@@ -47,6 +47,18 @@ from ddsp_tpu.ops.resample import resample as resample_fn
 
 Array = jax.Array
 TIME_AXIS = 'time'
+DATA_AXIS = 'data'
+
+
+def _batch_axis(mesh: Mesh):
+  """Mesh axis the batch dim shards over ('data' when present, else None).
+
+  The user-facing wrappers shard every batched operand over this axis so
+  data parallelism composes with time sharding: each device touches only
+  its local batch rows (no all-gather of the global batch onto every
+  time shard).
+  """
+  return DATA_AXIS if DATA_AXIS in mesh.axis_names else None
 
 
 # ---------------------------------------------------------------------------
@@ -245,16 +257,17 @@ def time_sharded_harmonic_synthesis(mesh: Mesh,
   """
   kwargs = dict(n_samples=n_samples, sample_rate=sample_rate,
                 amp_resample_method=amp_resample_method)
+  b = _batch_axis(mesh)
   if harmonic_distribution is None:
     fn = functools.partial(local_harmonic_synthesis,
                            harmonic_distribution=None, **kwargs)
     return jax.shard_map(
-        lambda f, a: fn(f, a), mesh=mesh, in_specs=(P(), P()),
-        out_specs=P(None, TIME_AXIS))(frequencies, amplitudes)
+        lambda f, a: fn(f, a), mesh=mesh, in_specs=(P(b), P(b)),
+        out_specs=P(b, TIME_AXIS))(frequencies, amplitudes)
   fn = functools.partial(local_harmonic_synthesis, **kwargs)
   return jax.shard_map(
-      fn, mesh=mesh, in_specs=(P(), P(), P()),
-      out_specs=P(None, TIME_AXIS))(
+      fn, mesh=mesh, in_specs=(P(b), P(b), P(b)),
+      out_specs=P(b, TIME_AXIS))(
           frequencies, amplitudes, harmonic_distribution)
 
 
@@ -281,10 +294,11 @@ def time_sharded_fft_convolve(mesh: Mesh,
   # replicated ir operand; the shard_map transpose still inserts the psum
   # for the replicated input's cotangent (verified by the gradient
   # equivalence test).
+  b = _batch_axis(mesh)
   return jax.shard_map(
       fn, mesh=mesh,
-      in_specs=(P(None, TIME_AXIS), P()),
-      out_specs=P(None, TIME_AXIS),
+      in_specs=(P(b, TIME_AXIS), P(b)),
+      out_specs=P(b, TIME_AXIS),
       check_vma=False)(audio, impulse_response)
 
 
@@ -348,8 +362,8 @@ def local_stft_mag(audio_local: Array,
   idx = jnp.where(valid[:, jnp.newaxis], idx, 0)
   frames = ext[:, idx]  # [batch, n_slots, size]
 
-  window = 0.5 - 0.5 * jnp.cos(
-      2.0 * np.pi * jnp.arange(size, dtype=jnp.float32) / size)
+  # Same periodic hann as compute_mag's framing (matters for odd sizes).
+  window = fftconv_ops.hann_window(size)
   fft_size = int(2**np.ceil(np.log2(size)))
   mags = jnp.abs(jnp.fft.rfft(frames * window, fft_size))
   mask = valid.astype(jnp.float32)
@@ -362,6 +376,7 @@ def local_spectral_loss(target_local: Array,
                         mag_weight: float = 1.0,
                         logmag_weight: float = 0.0,
                         axis_name: str = TIME_AXIS,
+                        batch_axis_name: Optional[str] = None,
                         halo_impl: str = 'xla') -> Array:
   """Multi-scale spectral loss over time-sharded signals.
 
@@ -369,9 +384,19 @@ def local_spectral_loss(target_local: Array,
   gathered signals: per-size local masked sums are psum'd and divided by
   the global element count. Differentiable (the halo ppermute transposes to
   a reverse-permute accumulate).
+
+  Args:
+    batch_axis_name: Mesh axis the batch dim is sharded over, if any. The
+      sums then also psum over it, so the returned scalar is the
+      global-batch mean (replicated over every mesh axis, as the wrapper's
+      out_specs=P() promises).
   """
   from ddsp_tpu.ops.core import safe_log  # pylint: disable=g-import-not-at-top
 
+  sum_axes = ((axis_name,) if batch_axis_name is None
+              else (axis_name, batch_axis_name))
+  n_batch_shards = (1 if batch_axis_name is None
+                    else jax.lax.axis_size(batch_axis_name))
   loss = 0.0
   for size in fft_sizes:
     target_mag, mask = local_stft_mag(target_local, size,
@@ -381,15 +406,15 @@ def local_spectral_loss(target_local: Array,
                                   halo_impl=halo_impl)
     m = mask[jnp.newaxis, :, jnp.newaxis]
     n_bins = target_mag.shape[-1]
-    batch = target_mag.shape[0]
+    batch = target_mag.shape[0] * n_batch_shards
     count = jax.lax.psum(jnp.sum(mask), axis_name) * batch * n_bins
     if mag_weight > 0:
       local_sum = jnp.sum(jnp.abs(target_mag - value_mag) * m)
-      loss += mag_weight * jax.lax.psum(local_sum, axis_name) / count
+      loss += mag_weight * jax.lax.psum(local_sum, sum_axes) / count
     if logmag_weight > 0:
       local_sum = jnp.sum(
           jnp.abs(safe_log(target_mag) - safe_log(value_mag)) * m)
-      loss += logmag_weight * jax.lax.psum(local_sum, axis_name) / count
+      loss += logmag_weight * jax.lax.psum(local_sum, sum_axes) / count
   return loss
 
 
@@ -406,14 +431,16 @@ def time_sharded_spectral_loss(mesh: Mesh,
   LTV filtering, and the training loss all stay time-sharded; only scalar
   psums and tiny halos cross chips.
   """
+  b = _batch_axis(mesh)
   fn = functools.partial(local_spectral_loss, fft_sizes=tuple(fft_sizes),
                          mag_weight=mag_weight,
                          logmag_weight=logmag_weight,
+                         batch_axis_name=b,
                          halo_impl=halo_impl)
   # check_vma=False: as with time_sharded_fft_convolve, the vma type
   # checker rejects the FFT transpose; gradient equivalence is pinned by
   # tests instead.
   return jax.shard_map(
       fn, mesh=mesh,
-      in_specs=(P(None, TIME_AXIS), P(None, TIME_AXIS)),
+      in_specs=(P(b, TIME_AXIS), P(b, TIME_AXIS)),
       out_specs=P(), check_vma=False)(target_audio, audio)
