@@ -125,17 +125,24 @@ def tiny(n_samples: int = 16000,
          time_steps: int = 250,
          n_harmonics: int = 20,
          n_noise_magnitudes: int = 33,
-         reverb_length: int = 8000) -> Autoencoder:
-  """Small solo-instrument model for tests/CI and single-core machines."""
+         reverb_length: int = 8000,
+         **kwargs) -> Autoencoder:
+  """Small solo-instrument model for tests/CI and single-core machines.
+
+  Extra kwargs pass through to solo_instrument, so inference-time spec
+  mutations (use_angular_cumsum, compute_loudness_fresh, reverb, ...)
+  work on tiny checkpoints exactly as on the flagship preset.
+  """
+  kwargs.setdefault('rnn_channels', 64)
+  kwargs.setdefault('ch', 64)
+  kwargs.setdefault('layers_per_stack', 1)
   return solo_instrument(n_samples=n_samples,
                          sample_rate=sample_rate,
                          time_steps=time_steps,
                          n_harmonics=n_harmonics,
                          n_noise_magnitudes=n_noise_magnitudes,
                          reverb_length=reverb_length,
-                         rnn_channels=64,
-                         ch=64,
-                         layers_per_stack=1)
+                         **kwargs)
 
 
 @register_preset('vst')

@@ -40,27 +40,49 @@ def prefetch_to_device(iterator: Iterator[Dict[str, Any]],
   q: 'queue.Queue' = queue.Queue(maxsize=size)
   sentinel = object()
   error: list = []
+  # Set when the consumer goes away (generator close / early train exit):
+  # unblocks the producer so neither the thread nor its queued device
+  # batches outlive the loop that created them.
+  stop = threading.Event()
 
   def producer():
     try:
       for batch in iterator:
+        if stop.is_set():
+          return
         if sharding is not None:
           batch = jax.device_put(batch, sharding)
         else:
           batch = jax.device_put(batch)
-        q.put(batch)
+        while not stop.is_set():
+          try:
+            q.put(batch, timeout=0.2)
+            break
+          except queue.Full:
+            continue
     except Exception as e:  # pylint: disable=broad-except
       error.append(e)
     finally:
-      q.put(sentinel)
+      try:
+        q.put_nowait(sentinel)
+      except queue.Full:
+        pass  # Consumer stopped; nobody is waiting for the sentinel.
 
   thread = threading.Thread(target=producer, daemon=True)
   thread.start()
 
-  while True:
-    item = q.get()
-    if item is sentinel:
-      if error:
-        raise error[0]
-      return
-    yield item
+  try:
+    while True:
+      item = q.get()
+      if item is sentinel:
+        if error:
+          raise error[0]
+        return
+      yield item
+  finally:
+    stop.set()
+    # Drain one slot in case the producer is mid-put.
+    try:
+      q.get_nowait()
+    except queue.Empty:
+      pass

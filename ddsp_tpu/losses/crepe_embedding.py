@@ -30,6 +30,24 @@ _LAYER_SCALES = {
     'classifier': 130,
 }
 
+# linen clones modules (re-running __post_init__) on every bind/init/apply,
+# so the frozen CREPE variables are cached per config: without this each
+# jit trace of the enclosing model would re-read the .h5 from disk (or
+# re-run a full CrepeModel.init).
+_CREPE_VARIABLES_CACHE = {}
+
+
+def _frozen_crepe_variables(crepe: CrepeModel, weights_path: Optional[str],
+                            model_capacity: str):
+  key = (weights_path, model_capacity, crepe.activation_layer)
+  if key not in _CREPE_VARIABLES_CACHE:
+    if weights_path:
+      variables = load_weights_from_h5(weights_path, model_capacity)
+    else:
+      variables = crepe.init(jax.random.PRNGKey(0), jnp.zeros((1, 1024)))
+    _CREPE_VARIABLES_CACHE[key] = variables
+  return _CREPE_VARIABLES_CACHE[key]
+
 
 class EmbeddingLoss(Loss):
   """Perceptual loss on activations of a frozen pretrained model.
@@ -94,11 +112,8 @@ class PretrainedCREPEEmbeddingLoss(EmbeddingLoss):
                        20.0 * _LAYER_SCALES[self.activation_layer])
     crepe = CrepeModel(model_capacity=self.model_capacity,
                        activation_layer=self.activation_layer)
-    if self.weights_path:
-      variables = load_weights_from_h5(self.weights_path,
-                                       self.model_capacity)
-    else:
-      variables = crepe.init(jax.random.PRNGKey(0), jnp.zeros((1, 1024)))
+    variables = _frozen_crepe_variables(crepe, self.weights_path,
+                                        self.model_capacity)
     # object.__setattr__ bypasses linen's submodule registration: the model
     # stays a plain frozen attribute.
     object.__setattr__(self, '_crepe', crepe)

@@ -10,13 +10,12 @@ audio_synth).
 
 from __future__ import annotations
 
-import re
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 
 from ddsp_tpu.models.model import Model
-from ddsp_tpu.proc.dags import default_module_name, snake_case
+from ddsp_tpu.proc.dags import loss_module_name
 
 Array = jax.Array
 TensorDict = Dict[str, Any]
@@ -48,34 +47,34 @@ class Autoencoder(Model):
       features.update(self.encoder(features))
     return features
 
-  def decode(self, features: TensorDict, training: bool = True) -> Array:
-    """Get generated audio by decoding than processing."""
+  def decode(self, features: TensorDict, training: bool = True) -> TensorDict:
+    """Decode conditioning to audio: decoder then ProcessorGroup.
+
+    Returns the ProcessorGroup outputs dict: per-processor controls plus
+    the final audio under 'audio_synth' (reference decode() returns the
+    bare signal; here the dict keeps one decode path shared with
+    forward_with_losses - take ['audio_synth'] for the audio alone).
+    """
     features = dict(features)
     features.update(self.decoder(features, training=training))
-    return self.processor_group(features)
+    pg_out = self.processor_group(features, return_outputs_dict=True)
+    outputs = dict(pg_out['controls'])
+    outputs['audio_synth'] = pg_out['signal']
+    return outputs
 
   def forward_with_losses(self, features: TensorDict, training: bool = True,
                           compute_losses: bool = True,
                           **kwargs) -> Tuple[TensorDict, TensorDict]:
     """Run the core of the network, get predictions and loss."""
     features = self.encode(features, training=training)
-    features.update(self.decoder(features, training=training))
-
-    # Run through processor group.
-    pg_out = self.processor_group(features, return_outputs_dict=True)
-
-    # Parse outputs.
-    outputs = dict(pg_out['controls'])
-    outputs['audio_synth'] = pg_out['signal']
+    outputs = self.decode(features, training=training)
 
     losses_dict = {}
     if compute_losses:
       for loss_obj in self.losses:
-        # Derive a stable name from the class (linen renames tuple-field
-        # submodules positionally to 'losses_<i>'), uniquified on collision.
-        name = default_module_name(loss_obj)
-        if re.fullmatch(r'losses_\d+', name):
-          name = snake_case(type(loss_obj).__name__)
+        # Stable name from the class (linen renames tuple-field submodules
+        # positionally to 'losses_<i>'), uniquified on collision.
+        name = loss_module_name(loss_obj)
         while name in losses_dict:
           name += '_'
         losses_dict[name] = loss_obj(features['audio'],

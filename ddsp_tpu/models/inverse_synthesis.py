@@ -15,7 +15,6 @@ synthesized on the fly.
 from __future__ import annotations
 
 import functools
-import re
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
@@ -25,7 +24,7 @@ from ddsp_tpu.losses.consistency import HarmonicConsistencyLoss
 from ddsp_tpu.models.model import Model
 from ddsp_tpu.ops import core as ops_core
 from ddsp_tpu.ops.oscillator import get_harmonic_frequencies
-from ddsp_tpu.proc.dags import default_module_name, snake_case
+from ddsp_tpu.proc.dags import loss_module_name
 from ddsp_tpu.proc.effects import FilteredNoiseReverb
 from ddsp_tpu.proc.processors import Add, ProcessorGroup
 from ddsp_tpu.proc.synths import FilteredNoise, Sinusoidal
@@ -153,12 +152,7 @@ class InverseSynthesis(Model):
     return outputs, losses_dict
 
   def _name(self, loss_obj) -> str:
-    # Linen names tuple-field submodules positionally ('losses_0'); fall
-    # back to the snake_case class name for a stable loss key.
-    name = default_module_name(loss_obj)
-    if re.fullmatch(r'[a-z_]*losses_\d+', name):
-      name = snake_case(type(loss_obj).__name__)
-    return name
+    return loss_module_name(loss_obj)
 
   def append_losses(self, losses_dict: TensorDict, outputs: TensorDict,
                     self_supervised_features: Optional[TensorDict] = None):

@@ -53,6 +53,20 @@ def default_module_name(module) -> str:
   return name if name else snake_case(type(module).__name__)
 
 
+def loss_module_name(loss_obj) -> str:
+  """Stable dict key for a loss module.
+
+  linen names tuple-field submodules positionally ('losses_0',
+  '<field>_losses_1', ...); those carry no meaning in a losses dict, so
+  fall back to the snake_case class name. Shared by every model's
+  losses-dict assembly (don't re-derive the rule per model).
+  """
+  name = default_module_name(loss_obj)
+  if re.fullmatch(r'[a-z_]*losses_\d+', name):
+    name = snake_case(type(loss_obj).__name__)
+  return name
+
+
 class _NodeSpec:
   """Opaque holder for a dag node's module.
 

@@ -146,7 +146,9 @@ def train(data_iterator: Iterator[Dict[str, Any]],
           f'{k}: {v:.2f}' for k, v in host_losses.items()))
 
     if step % steps_per_summary == 0 and pending_losses:
-      host = [jax.device_get(l) for l in pending_losses]
+      # One batched transfer for the whole interval (a per-scalar
+      # device_get would pay a blocking host round-trip per step).
+      host = jax.device_get(pending_losses)
       mean_losses = {
           k: float(np.mean([h[k] for h in host])) for k in host[0]}
       elapsed = time.time() - last_summary_time
@@ -173,6 +175,12 @@ def train(data_iterator: Iterator[Dict[str, Any]],
     if save_dir and step % steps_per_save == 0:
       save_time = trainer.save(state, save_dir)
       logger.info('Saved checkpoint at step %d (%.2fs).', step, save_time)
+
+  if prefetch:
+    # Stop the producer thread and release its queued device batches
+    # (covers early-stop exits; abandoned generators would otherwise hold
+    # prefetch-depth batches in device memory until GC).
+    data_iterator.close()
 
   if profiling:
     jax.profiler.stop_trace()

@@ -192,10 +192,13 @@ class Trainer:
                              opt_state=restored['opt_state'])
     else:
       # Partial restore: swap in only the chosen param subtrees, keep the
-      # fresh optimizer state and step.
+      # fresh optimizer state and step. Keys absent from the checkpoint or
+      # the fresh tree are skipped (e.g. no encoder in this preset), same
+      # as _SpecInference's partial restore.
       params = dict(state.params)
       for k in restore_keys:
-        params[k] = restored['params'][k]
+        if k in restored['params'] and k in params:
+          params[k] = restored['params'][k]
       new_state = TrainState(step=state.step, params=params,
                              opt_state=state.opt_state)
     return mesh_lib.replicate(new_state, self.mesh)

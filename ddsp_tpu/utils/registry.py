@@ -9,7 +9,9 @@ use_angular_cumsum) the exact model.
 
 from __future__ import annotations
 
+import inspect
 import json
+import logging
 import os
 from typing import Any, Callable, Dict, Optional
 
@@ -72,9 +74,24 @@ def model_from_spec(save_dir: str, **overrides):
   """Reconstruct the model from a saved spec, with optional mutations.
 
   Mirrors the reference pattern of re-parsing the operative gin config at
-  inference time and mutating it (reference inference.py:39-105).
+  inference time and mutating it (reference inference.py:39-105). Like a
+  gin mutation of a binding the config never had, an override the preset
+  function does not accept is dropped (with a log line) instead of
+  crashing - AutoencoderInference applies the same mutation set
+  (use_angular_cumsum, reverb, ...) to every preset, and each preset
+  honors the subset it understands.
   """
   spec = load_spec(save_dir)
   kwargs = dict(spec['kwargs'])
   kwargs.update(overrides)
+  preset_fn = get_preset(spec['preset'])
+  sig_params = inspect.signature(preset_fn).parameters
+  takes_var_kw = any(p.kind is inspect.Parameter.VAR_KEYWORD
+                     for p in sig_params.values())
+  if not takes_var_kw:
+    dropped = sorted(set(kwargs) - set(sig_params))
+    if dropped:
+      logging.info('model_from_spec: preset %r does not accept %s; '
+                   'dropping those overrides.', spec['preset'], dropped)
+      kwargs = {k: v for k, v in kwargs.items() if k in sig_params}
   return build_model(spec['preset'], **kwargs)

@@ -279,6 +279,27 @@ class TestPrefetch:
       for _ in it:
         pass
 
+  def test_prefetch_close_unblocks_producer(self):
+    """Abandoning the iterator early (train early-stop) must stop the
+    producer thread instead of leaving it blocked on a full queue."""
+    import threading
+    import time
+    from ddsp_tpu.data.prefetch import prefetch_to_device
+
+    started = threading.active_count()
+
+    def infinite():
+      while True:
+        yield {'x': np.zeros(3, np.float32)}
+
+    it = prefetch_to_device(infinite(), size=1)
+    next(it)  # producer is now blocked on a full queue
+    it.close()
+    deadline = time.time() + 5.0
+    while threading.active_count() > started and time.time() < deadline:
+      time.sleep(0.05)
+    assert threading.active_count() <= started
+
 
 class TestNotebookUtils:
 

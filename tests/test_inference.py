@@ -94,6 +94,32 @@ class TestAutoencoderInference:
     assert np.all(np.isfinite(np.asarray(audio)))
     assert 'audio_synth' in outputs
 
+  def test_rebuild_from_non_solo_preset(self, tmp_path):
+    """Presets that don't accept the solo_instrument mutation kwargs
+    (use_angular_cumsum etc.) must still load - unsupported overrides are
+    dropped like gin mutations of bindings the config never had."""
+    save_dir = str(tmp_path / 'tiny_run')
+    kw = dict(n_samples=4000, time_steps=50, n_harmonics=8,
+              n_noise_magnitudes=5, reverb_length=1000)
+    model = utils.build_model('tiny', **kw)
+    utils.save_spec(save_dir, 'tiny', **kw)
+    provider = SyntheticSinusoidProvider(n_samples=4000, sample_rate=SR,
+                                         frame_rate=250, n_examples=2)
+    batch = next(provider.get_batch(2, shuffle=False))
+    trainer = Trainer(model, mesh=create_mesh(n_data=1,
+                                              devices=jax.devices()[:1]))
+    state = trainer.init(batch)
+    trainer.save(state, save_dir)
+
+    for remove_reverb in (False, True):
+      inference = infer.AutoencoderInference(save_dir, length_seconds=0.25,
+                                             remove_reverb=remove_reverb)
+      audio = inference.get_audio({
+          'f0_hz': np.full((inference.n_frames,), 220.0, np.float32),
+          'loudness_db': np.full((inference.n_frames,), -30.0, np.float32),
+      })
+      assert np.all(np.isfinite(np.asarray(audio)))
+
   def test_keep_reverb_restores_all(self, ae_ckpt_dir):
     inference = infer.AutoencoderInference(ae_ckpt_dir, length_seconds=0.25,
                                            remove_reverb=False)
