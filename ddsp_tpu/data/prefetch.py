@@ -63,10 +63,15 @@ def prefetch_to_device(iterator: Iterator[Dict[str, Any]],
     except Exception as e:  # pylint: disable=broad-except
       error.append(e)
     finally:
-      try:
-        q.put_nowait(sentinel)
-      except queue.Full:
-        pass  # Consumer stopped; nobody is waiting for the sentinel.
+      # The sentinel MUST reach the consumer (it may be slower than the
+      # producer, with the queue momentarily full) — keep trying until it
+      # lands or the consumer has explicitly gone away.
+      while not stop.is_set():
+        try:
+          q.put(sentinel, timeout=0.2)
+          break
+        except queue.Full:
+          continue
 
   thread = threading.Thread(target=producer, daemon=True)
   thread.start()

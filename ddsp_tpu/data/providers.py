@@ -106,11 +106,21 @@ class SyntheticSinusoidProvider(DataProvider):
     # (n_frames = n_samples / hop + 1).
     self.n_frames = n_samples // (sample_rate // frame_rate) + 1
     self._seed = seed
+    # Epoch-order RNG persists across get_dataset calls so shuffle=True
+    # yields a different order every epoch (content stays seed-determined).
+    self._order_rng = np.random.RandomState(seed + 1)
+    self._cache = None
 
   def get_dataset(self, shuffle: bool = True):
-    rng = np.random.RandomState(self._seed)
-    for _ in range(self.n_examples):
-      yield self._make_example(rng)
+    if self._cache is None:
+      rng = np.random.RandomState(self._seed)
+      self._cache = [self._make_example(rng)
+                     for _ in range(self.n_examples)]
+    order = np.arange(self.n_examples)
+    if shuffle:
+      self._order_rng.shuffle(order)
+    for i in order:
+      yield self._cache[i]
 
   def _make_example(self, rng) -> Dict[str, np.ndarray]:
     sr, n = self.sample_rate, self.n_samples
@@ -156,7 +166,7 @@ class TFRecordProvider(DataProvider):
 
   def __init__(self,
                file_pattern: str,
-               example_secs: int = 4,
+               example_secs: float = 4,
                sample_rate: int = 16000,
                frame_rate: int = 250,
                centered: bool = True,
@@ -167,7 +177,8 @@ class TFRecordProvider(DataProvider):
     if not self._files:
       raise FileNotFoundError(f'No files match {file_pattern!r}')
     self.example_secs = example_secs
-    self.n_samples = example_secs * sample_rate
+    # float seconds keep fractional geometries exact (2.5 s @ 16 kHz).
+    self.n_samples = int(round(example_secs * sample_rate))
     hop = sample_rate // frame_rate
     self.n_frames = (self.n_samples // hop + 1 if centered
                      else self.n_samples // hop)

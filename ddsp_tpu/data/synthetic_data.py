@@ -62,7 +62,9 @@ def modulate(signal: np.ndarray, maxval: float = 0.5, n_t: int = 10,
   rng = _rng(random_state)
   n_batch, n_timesteps, _ = signal.shape
   signal_std = rng.uniform(0.0, maxval, n_batch)
-  mod = np.abs(rng.normal(1.0, signal_std, [1, n_t, 1]))
+  # Draw [1, n_t, n_batch] so each batch row gets its own stddev, then
+  # put batch first: [n_batch, n_t, 1].
+  mod = np.abs(rng.normal(1.0, signal_std, [1, n_t, n_batch]))
   mod = np.transpose(mod, [2, 1, 0]).astype(np.float32)
   mod = np.asarray(resample(mod, n_timesteps, method=method))
   return signal * mod

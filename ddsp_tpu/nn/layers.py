@@ -404,12 +404,16 @@ class Embedding(nn.Module):
     return nn.Embed(self.vocab_size, self.n_dims)(idx.astype(jnp.int32))
 
 
-def normalize_op(x: Array, norm_type: str = 'layer',
+def normalize_op(x: Array, norm_type: Optional[str] = 'layer',
                  eps: float = 1e-5) -> Array:
   """Apply group/instance/layer normalization (no learned params).
 
   x: [batch, height, width, ch] (use ensure_4d for other ranks).
+  norm_type None passes x through unchanged (reference nn.py:561 - the
+  learned scale/shift in Normalize still applies).
   """
+  if norm_type is None:
+    return x
   mb, h, w, ch = x.shape
   n_groups = {'instance': ch, 'layer': 1, 'group': 32}[norm_type]
   x = jnp.reshape(x, (mb, h, w, n_groups, ch // n_groups))
@@ -420,9 +424,10 @@ def normalize_op(x: Array, norm_type: str = 'layer',
 
 
 class Normalize(nn.Module):
-  """Normalization with learned scale and shift."""
+  """Normalization with learned scale and shift (norm_type None = scale
+  and shift only, no statistics normalization)."""
 
-  norm_type: str = 'layer'
+  norm_type: Optional[str] = 'layer'
 
   @nn.compact
   def __call__(self, x: Array) -> Array:

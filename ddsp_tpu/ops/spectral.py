@@ -155,14 +155,17 @@ def compute_mag(audio: Array,
     audio = jnp_float32(audio)
     if audio.ndim == 3:
       audio = audio[..., 0]
-    if audio.ndim == 1:
+    is_1d = audio.ndim == 1
+    if is_1d:
       audio = audio[jnp.newaxis, :]
     hop_size = int(size * (1.0 - overlap))
     fft_size = int(2**np.ceil(np.log2(size)))
     frames = fftconv.frame(audio, size, hop_size, pad_end=pad_end)
     frames = frames * fftconv.hann_window(size)
-    return fft_matmul.matmul_stft_mag(frames, fft_size,
+    mags = fft_matmul.matmul_stft_mag(frames, fft_size,
                                       compute_dtype=compute_dtype)
+    # Same rank contract as the FFT branch: 1-D audio -> [n_frames, bins].
+    return mags[0] if is_1d else mags
   mag = jnp.abs(stft(audio, frame_size=size, overlap=overlap,
                      pad_end=pad_end))
   return mag.astype(jnp.float32)

@@ -40,7 +40,7 @@ def build_data_provider(spec: str, n_samples: int, sample_rate: int,
         n_examples=n_examples)
   elif kind == 'tfrecord':
     return data_lib.TFRecordProvider(
-        arg, example_secs=n_samples // sample_rate,
+        arg, example_secs=n_samples / sample_rate,
         sample_rate=sample_rate, frame_rate=frame_rate)
   elif kind == 'synthetic_notes':
     return data_lib.SyntheticNotesProvider(
@@ -75,7 +75,9 @@ def build_data_provider(spec: str, n_samples: int, sample_rate: int,
     if re.fullmatch(r'\d+(\.\d+)*', head or ''):
       name, rest = f'{name}:{head}', tail
       head, _, tail = rest.partition(':')
-    split, data_dir = head, tail.partition(':')[0]
+    # Everything after the split is the data_dir verbatim - it may itself
+    # contain colons (gs://bucket/path).
+    split, data_dir = head, tail
     return data_lib.TfdsProvider(name, split or 'train',
                                  data_dir=data_dir or None,
                                  sample_rate=sample_rate,
@@ -144,20 +146,24 @@ def main(argv=None):
   model_kwargs = json.loads(args.model_kwargs)
 
   if args.mode == 'train':
+    preset_name = args.preset
     model = utils.build_model(args.preset, **model_kwargs)
     utils.save_spec(args.save_dir, args.preset, **model_kwargs)
   else:
-    # Reconstruct the exact trained architecture from the operative spec.
+    # Reconstruct the exact trained architecture from the operative spec —
+    # including its preset name, so eval/sample geometry below follows the
+    # TRAINED preset's defaults, not the CLI's --preset default.
     model = utils.model_from_spec(args.restore_dir or args.save_dir,
                                   **model_kwargs)
     spec = utils.load_spec(args.restore_dir or args.save_dir)
+    preset_name = spec['preset']
     model_kwargs = dict(spec['kwargs'], **model_kwargs)
 
   # Resolve provider geometry from the preset's own defaults merged with
   # overrides (a preset like 'tiny' has n_samples=16000; 'vst' specifies
   # seconds and frame_rate) so the dataset matches the model out of the box.
   import inspect
-  preset_fn = utils.get_preset(args.preset)
+  preset_fn = utils.get_preset(preset_name)
   preset_defaults = {
       k: p.default for k, p in inspect.signature(preset_fn).parameters.items()
       if p.default is not inspect.Parameter.empty}

@@ -35,12 +35,16 @@ def test_train_eval_sample_round_trip(tmp_path):
   assert os.path.exists(os.path.join(save_dir, 'operative_spec.json'))
   assert os.path.exists(os.path.join(save_dir, 'metrics.jsonl'))
 
+  # Eval/sample without --preset/--model_kwargs: geometry and architecture
+  # must come from the operative spec (not the CLI's --preset default).
+  spec_only = ['--save_dir', save_dir, '--data', 'synthetic:4',
+               '--batch_size', '2', '--n_devices', '1']
   r = _run(['--mode', 'eval', '--run_once', '--num_eval_batches', '1']
-           + common)
+           + spec_only)
   assert r.returncode == 0, r.stderr[-2000:]
 
   r = _run(['--mode', 'sample', '--run_once', '--num_eval_batches', '1']
-           + common)
+           + spec_only)
   assert r.returncode == 0, r.stderr[-2000:]
   samples = []
   for root, _, files in os.walk(save_dir):

@@ -279,6 +279,24 @@ class TestPrefetch:
       for _ in it:
         pass
 
+  def test_prefetch_slow_consumer_still_terminates(self):
+    """The end-of-data sentinel must reach a consumer slower than the
+    producer (full queue when the iterator exhausts) - a dropped sentinel
+    hangs training at the end of a finite dataset."""
+    import time
+    from ddsp_tpu.data.prefetch import prefetch_to_device
+
+    def finite():
+      for _ in range(4):
+        yield {'x': np.zeros(3, np.float32)}
+
+    it = prefetch_to_device(finite(), size=1)
+    got = 0
+    for _ in it:
+      time.sleep(0.1)  # let the producer finish with the queue full
+      got += 1
+    assert got == 4
+
   def test_prefetch_close_unblocks_producer(self):
     """Abandoning the iterator early (train early-stop) must stop the
     producer thread instead of leaving it blocked on a full queue."""
@@ -333,3 +351,33 @@ class TestNotebookUtils:
       notebook.record()
     with _pytest.raises(RuntimeError, match='frontend'):
       notebook.upload()
+
+
+def test_modulate_per_batch_stddev():
+  """modulate() with n_batch > 1 draws one stddev per batch row
+  (regression: the noise draw used a [1, n_t, 1] size that could not
+  broadcast against the [n_batch] scale vector)."""
+  from ddsp_tpu.data import synthetic_data
+  rng = np.random.RandomState(0)
+  signal = np.ones((3, 100, 2), np.float32)
+  out = synthetic_data.modulate(signal, maxval=0.5, n_t=10,
+                                random_state=rng)
+  assert out.shape == signal.shape
+  assert np.isfinite(out).all()
+  # Rows got different modulation envelopes.
+  assert not np.allclose(out[0], out[1])
+
+
+def test_synthetic_provider_shuffles_across_epochs():
+  """shuffle=True must change the example order between epochs (content
+  stays seed-deterministic)."""
+  provider = data_lib.SyntheticSinusoidProvider(
+      n_samples=2000, frame_rate=50, n_examples=6, seed=0)
+  epoch1 = [e['f0_hz'][0] for e in provider.get_dataset(shuffle=True)]
+  epoch2 = [e['f0_hz'][0] for e in provider.get_dataset(shuffle=True)]
+  assert sorted(epoch1) == sorted(epoch2)  # same content
+  assert epoch1 != epoch2                  # different order
+  # shuffle=False keeps the canonical order.
+  fixed1 = [e['f0_hz'][0] for e in provider.get_dataset(shuffle=False)]
+  fixed2 = [e['f0_hz'][0] for e in provider.get_dataset(shuffle=False)]
+  assert fixed1 == fixed2

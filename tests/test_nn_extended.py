@@ -295,3 +295,28 @@ class TestIdentity:
     x = jnp.asarray(RNG.randn(2, 5).astype(np.float32))
     y, _ = dnn.Identity().init_with_output(jax.random.PRNGKey(0), x)
     np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+def test_normalize_none_passes_through_with_scale_shift():
+  """norm_type=None applies only the learned scale/shift (reference
+  nn.py:561 passes through on None) - DilatedConvStack's default."""
+  import jax
+  import jax.numpy as jnp
+  from ddsp_tpu.nn import layers as nn_layers
+  x = jnp.asarray(np.random.RandomState(0).randn(2, 6, 4).astype(np.float32))
+  m = nn_layers.Normalize(norm_type=None)
+  v = m.init(jax.random.PRNGKey(0), x)
+  y = m.apply(v, x)
+  # Fresh params are scale=1/shift=0: exact pass-through.
+  np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=0)
+
+
+def test_dilated_conv_stack_default_norm_runs():
+  import jax
+  import jax.numpy as jnp
+  from ddsp_tpu import nn as dnn
+  x = jnp.zeros((1, 16, 1))
+  model = dnn.DilatedConvStack(ch=4, layers_per_stack=1, stacks=1)
+  v = model.init(jax.random.PRNGKey(0), x)
+  y = model.apply(v, x)
+  assert np.isfinite(np.asarray(y)).all()
