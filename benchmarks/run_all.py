@@ -95,8 +95,10 @@ def bench_chain_fwd_grad(iters):
       'amps': rng.randn(batch, N_FRAMES, 1).astype(np.float32),
       'harmonic_distribution': rng.randn(batch, N_FRAMES,
                                          100).astype(np.float32),
-      'f0_hz': (200 + 100 * rng.rand(batch, N_FRAMES,
-                                     1)).astype(np.float32),
+      # Constant 220 Hz - MUST match bench.py and tf_baseline.py exactly:
+      # all three publish/compare under the 'chain_fwd_grad_batch16' key,
+      # and input-dependent paths (nyquist masks) shift with f0.
+      'f0_hz': (220.0 * np.ones((batch, N_FRAMES, 1))).astype(np.float32),
       'noise_magnitudes': rng.randn(batch, N_FRAMES,
                                     65).astype(np.float32),
   }

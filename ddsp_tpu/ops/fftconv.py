@@ -76,10 +76,14 @@ def frame(signal: Array,
   else:
     n_frames = 1 + (n - frame_length) // frame_step if n >= frame_length else 0
 
-  if frame_length % frame_step == 0 and axis == signal.ndim - 1:
+  if (frame_length % frame_step == 0 and axis == signal.ndim - 1 and
+      frame_length // frame_step <= 16):
     # TPU fast path: when the hop divides the frame, overlapping frames are
     # k = frame/hop shifted views of hop-sized chunks - k static slices +
     # one concat instead of a gather (gathers don't tile well on TPU).
+    # Only worth it for small k: frame_step=1 (variable_length_delay)
+    # would emit frame_length slices + a frame_length-operand concat,
+    # bloating the HLO far beyond the general path's single gather.
     k = frame_length // frame_step
     total = (n_frames + k - 1) * frame_step
     length = signal.shape[-1]
@@ -178,6 +182,14 @@ def crop_and_compensate_delay(audio: Array, audio_size: int, ir_size: int,
   start = ((ir_size - 1) // 2 - 1 if delay_compensation < 0
            else delay_compensation)
   end = crop - start
+  # `audio[:, start:-end]` with end <= 0 would slice to EMPTY (the -0
+  # footgun), which happens for 'valid' padding whenever the conv length
+  # is exactly a power of two (crop == 0 < start). The delay-compensated
+  # window extends past the computed convolution, whose remaining samples
+  # are genuinely zero - pad them so the output still has crop_size
+  # samples.
+  if end <= 0:
+    return jnp.pad(audio[:, start:total_size], ((0, 0), (0, -end)))
   return audio[:, start:-end]
 
 

@@ -220,4 +220,6 @@ def center_crop(audio: Array, frame_size: int) -> Array:
     audio_cropped: Shape [batch, time - (frame_size // 2) * 2, ...].
   """
   pad_amount = int(frame_size // 2)
+  if pad_amount == 0:
+    return audio  # audio[:, 0:-0] would slice to empty.
   return audio[:, pad_amount:-pad_amount]

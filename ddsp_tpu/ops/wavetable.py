@@ -24,7 +24,8 @@ from ddsp_tpu.ops.resample import resample
 Array = jax.Array
 
 
-def linear_lookup(phase: Array, wavetables: Array) -> Array:
+def linear_lookup(phase: Array, wavetables: Array,
+                  wrap: bool = True) -> Array:
   """Lookup from wavetables with linear interpolation.
 
   Args:
@@ -32,6 +33,10 @@ def linear_lookup(phase: Array, wavetables: Array) -> Array:
       lookup position. Shape [batch_size, n_samples, 1].
     wavetables: Wavetables to read from. Shape [batch_size, n_samples,
       n_wavetable] or [batch_size, n_wavetable].
+    wrap: Periodic-table semantics: phase near 1.0 interpolates back toward
+      entry 0 (correct for oscillator wavetables). False clamps at the last
+      entry instead - required for non-periodic tables like delay lines,
+      where wrapping would blend the longest delay with the dry sample.
 
   Returns:
     Audio from linearly interpolated lookup, shape [batch_size, n_samples].
@@ -43,8 +48,10 @@ def linear_lookup(phase: Array, wavetables: Array) -> Array:
   if phase.ndim == 2:
     phase = phase[:, :, jnp.newaxis]
 
-  # Add first sample to end of wavetable for smooth wraparound interpolation.
-  wavetables = jnp.concatenate([wavetables, wavetables[..., 0:1]], axis=-1)
+  # Extend by one entry so the phase grid has n_wavetable+1 points: the
+  # first sample again (smooth wraparound) or a clamp duplicate.
+  edge = wavetables[..., 0:1] if wrap else wavetables[..., -1:]
+  wavetables = jnp.concatenate([wavetables, edge], axis=-1)
   n_wavetable = int(wavetables.shape[-1])
 
   # Phase position of each wavetable point.
@@ -146,5 +153,8 @@ def variable_length_delay(phase: Array,
   frames = frame_signal(audio, max_length, 1, pad_end=False)
   # Reverse frames so [0, 1] phase corresponds to [0, max_length] delay.
   frames = frames[..., ::-1]
-  # Read audio from the past frames.
-  return linear_lookup(phase, frames)
+  # Read audio from the past frames. wrap=False: saturated phase clamps at
+  # the maximum delay instead of wrapping around to the dry signal
+  # (the reference inherits linear_lookup's periodic wraparound here,
+  # which glitches at max modulation depth; reference core.py:1288-1313).
+  return linear_lookup(phase, frames, wrap=False)

@@ -214,3 +214,27 @@ def test_frequency_filter_ltv_shapes():
   magnitudes = np.abs(np.random.randn(2, 250, 65)).astype(np.float32)
   out = ops.frequency_filter(audio, magnitudes, window_size=257)
   assert out.shape == (2, 64000)
+
+
+def test_valid_padding_pow2_conv_length_not_empty():
+  """'valid' padding with frame+ir-1 exactly a power of two used to slice
+  to an EMPTY array (the -0 footgun in crop_and_compensate_delay)."""
+  import jax.numpy as jnp
+  from ddsp_tpu.ops import fftconv
+  audio = jnp.ones((1, 961))
+  ir = jnp.ones((1, 64)) / 64.0
+  out = fftconv.fft_convolve(audio, ir, padding='valid')
+  assert out.shape == (1, 961 + 64 - 1), out.shape
+  assert np.isfinite(np.asarray(out)).all()
+
+
+def test_frame_step_one_uses_gather_path():
+  """frame(x, L, 1) (variable_length_delay's shape) must not unroll into
+  L slices; it should produce the same values as the general gather."""
+  import jax.numpy as jnp
+  from ddsp_tpu.ops import fftconv
+  x = jnp.arange(32, dtype=jnp.float32)[jnp.newaxis, :]
+  frames = fftconv.frame(x, 8, 1, pad_end=False)
+  assert frames.shape == (1, 25, 8)
+  expect = np.stack([np.arange(i, i + 8) for i in range(25)])
+  np.testing.assert_array_equal(np.asarray(frames[0]), expect)

@@ -317,3 +317,19 @@ class TestDagModule:
     variables = pg.init(RNGS, {'x': x})
     out = pg.apply(variables, {'x': x})
     np.testing.assert_allclose(np.asarray(out), 2.0)
+
+
+def test_variable_length_delay_saturated_phase_clamps():
+  """Phase 1.0 must read the MAXIMUM delay, not wrap around and blend in
+  the dry (zero-delay) sample."""
+  import jax.numpy as jnp
+  from ddsp_tpu.ops.wavetable import variable_length_delay
+  n, max_len = 64, 16
+  audio = jnp.asarray(np.arange(1, n + 1, dtype=np.float32))[jnp.newaxis, :]
+  phase = jnp.ones((1, n, 1))
+  out = np.asarray(variable_length_delay(phase, audio, max_length=max_len))
+  # Delay of max_length - 1 samples: out[t] = audio[t - (max_len - 1)]
+  # (zero-padded history before that).
+  expect = np.concatenate([np.zeros(max_len - 1),
+                           np.arange(1, n - max_len + 2)]).astype(np.float32)
+  np.testing.assert_allclose(out[0], expect, atol=1e-5)

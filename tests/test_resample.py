@@ -127,3 +127,13 @@ def test_center_crop():
   x = np.ones((2, 100, 1))
   out = ops.center_crop(x, 10)
   assert out.shape == (2, 90, 1)
+
+
+def test_center_crop_frame_size_one_is_noop():
+  """frame_size < 2 used to slice to empty ([:, 0:-0])."""
+  import jax.numpy as jnp
+  from ddsp_tpu.ops.resample import center_crop
+  x = jnp.ones((1, 10))
+  assert center_crop(x, 1).shape == (1, 10)
+  assert center_crop(x, 0).shape == (1, 10)
+  assert center_crop(x, 4).shape == (1, 6)
