@@ -47,15 +47,21 @@ class ZippedProvider(BaseMultiProvider):
   """Yields tuples of examples/batches, one element per provider."""
 
   def get_dataset(self, shuffle: bool = True):
-    iterators = [iter(self._infinite(dp, shuffle))
+    """One epoch: zip of one epoch per provider (ends at the shortest).
+
+    Finite, so the base get_batch's `repeats` semantics hold (an infinite
+    generator here would make repeats=1 consumers loop forever).
+    """
+    iterators = [iter(dp.get_dataset(shuffle=shuffle))
                  for dp in self._data_providers]
     while True:
-      yield tuple(next(it) for it in iterators)
-
-  @staticmethod
-  def _infinite(dp, shuffle):
-    while True:
-      yield from dp.get_dataset(shuffle=shuffle)
+      items = []
+      for it in iterators:
+        try:
+          items.append(next(it))
+        except StopIteration:
+          return
+      yield tuple(items)
 
   def get_batch(self, batch_size: int, shuffle: bool = True,
                 repeats: int = -1, drop_remainder: bool = True,
@@ -86,13 +92,23 @@ class MixedProvider(BaseMultiProvider):
     self._rng = np.random.RandomState(seed)
 
   def get_dataset(self, shuffle: bool = True):
-    iterators = [iter(ZippedProvider._infinite(dp, shuffle))
+    """One epoch: sample among providers until every epoch is exhausted.
+
+    Finite (like tf.data sample_from_datasets over finite datasets), so
+    the base get_batch's `repeats` semantics hold. Exhausted providers
+    drop out and the sampling probabilities renormalize over the rest.
+    """
+    iterators = [iter(dp.get_dataset(shuffle=shuffle))
                  for dp in self._data_providers]
-    probs = np.asarray(self._batch_size_ratios)
-    probs = probs / probs.sum()
-    while True:
-      idx = self._rng.choice(len(iterators), p=probs)
-      yield next(iterators[idx])
+    probs = np.asarray(self._batch_size_ratios, np.float64)
+    alive = list(range(len(iterators)))
+    while alive:
+      p = probs[alive] / probs[alive].sum()
+      idx = alive[self._rng.choice(len(alive), p=p)]
+      try:
+        yield next(iterators[idx])
+      except StopIteration:
+        alive.remove(idx)
 
 
 class SyntheticNotesProvider(DataProvider):

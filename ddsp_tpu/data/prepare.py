@@ -31,18 +31,10 @@ def load_audio(audio_path: str, sample_rate: int) -> np.ndarray:
   """Load a WAV file as mono float32 at the requested sample rate."""
   from scipy.io import wavfile  # pylint: disable=g-import-not-at-top
   from scipy import signal as sps  # pylint: disable=g-import-not-at-top
+  from ddsp_tpu.utils.audio_io import pcm_to_float_mono  # pylint: disable=g-import-not-at-top
 
   sr, audio = wavfile.read(audio_path)
-  audio = np.asarray(audio)
-  if audio.dtype.kind == 'i':
-    audio = audio.astype(np.float32) / np.iinfo(audio.dtype).max
-  elif audio.dtype.kind == 'u':
-    info = np.iinfo(audio.dtype)
-    audio = (audio.astype(np.float32) - info.max / 2) / (info.max / 2)
-  else:
-    audio = audio.astype(np.float32)
-  if audio.ndim == 2:
-    audio = audio.mean(axis=1)
+  audio = pcm_to_float_mono(audio)
   if sr != sample_rate:
     n_out = int(round(len(audio) * sample_rate / sr))
     audio = sps.resample(audio, n_out).astype(np.float32)
@@ -166,6 +158,14 @@ def prepare_records(input_audio_paths: Iterable[str],
 
     chunks = _chunk(audio, int(chunk_secs * sample_rate))
     chunks_16k = _chunk(audio_16k, int(chunk_secs * CREPE_SAMPLE_RATE))
+    if len(chunks) != len(chunks_16k):
+      # Resampling rounding can differ by a sample near a chunk boundary;
+      # zip() would then silently DROP training audio (the reference
+      # asserts equality here, prepare_tfrecord_lib.py). Fail loudly.
+      raise ValueError(
+          f'{path}: chunk count mismatch between {sample_rate} Hz '
+          f'({len(chunks)}) and 16 kHz ({len(chunks_16k)}) audio; pick a '
+          'chunk_secs that yields whole chunks at both rates.')
     for c, c16 in zip(chunks, chunks_16k):
       examples.append({'audio': c, 'audio_16k': c16})
 
@@ -189,13 +189,15 @@ def prepare_records(input_audio_paths: Iterable[str],
     return int(hashlib.md5(ex['audio'].tobytes()).hexdigest(), 16)
 
   if eval_split_fraction > 0:
-    ids = sorted(chunk_id(ex) for ex in processed)
-    n_eval = int(len(ids) * eval_split_fraction)
-    eval_ids = set(ids[:n_eval])
+    # Hash each chunk ONCE and split by sorted-position rank (duplicate
+    # hashes would collapse in a set and skew the realized eval fraction).
+    with_ids = sorted(((chunk_id(ex), i, ex)
+                       for i, ex in enumerate(processed)),
+                      key=lambda t: t[:2])
+    n_eval = int(len(with_ids) * eval_split_fraction)
     splits = {
-        'train': [ex for ex in processed
-                  if chunk_id(ex) not in eval_ids],
-        'eval': [ex for ex in processed if chunk_id(ex) in eval_ids],
+        'train': [ex for _, _, ex in with_ids[n_eval:]],
+        'eval': [ex for _, _, ex in with_ids[:n_eval]],
     }
   else:
     splits = {'': processed}

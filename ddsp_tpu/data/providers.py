@@ -43,6 +43,11 @@ class DataProvider:
                 drop_remainder: bool = True,
                 seed: Optional[int] = None) -> Iterator[Dict[str, Any]]:
     """Yield batched feature dicts (numpy, stacked along axis 0)."""
+    if seed is not None:
+      import logging  # pylint: disable=g-import-not-at-top
+      logging.getLogger('ddsp_tpu').warning(
+          'get_batch(seed=...) is accepted for API parity but ignored; '
+          'seed shuffling at provider construction time instead.')
     epoch = 0
     buffer = []
     while repeats < 0 or epoch < repeats:

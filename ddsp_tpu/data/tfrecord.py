@@ -61,22 +61,37 @@ def _masked_crc(data: bytes) -> int:
 # ---------------------------------------------------------------------------
 def read_records(path: str, verify_crc: bool = False) -> Iterator[bytes]:
   """Yield raw record payloads from a TFRecord file."""
+  use_native = False
+  if verify_crc:
+    from ddsp_tpu import native  # pylint: disable=g-import-not-at-top
+    use_native = native.load_codec() is not None
   with open(path, 'rb') as f:
     while True:
       header = f.read(12)
       if len(header) < 12:
         return
       length, length_crc = struct.unpack('<QI', header)
-      if verify_crc and _masked_crc(header[:8]) != length_crc:
-        raise IOError(f'Corrupt TFRecord length CRC in {path}')
       data = f.read(length)
       tail = f.read(4)
       if len(data) < length or len(tail) < 4:
         raise IOError(f'Truncated TFRecord in {path} (record of {length} '
                       f'bytes cut short)')
-      data_crc = struct.unpack('<I', tail)[0]
-      if verify_crc and _masked_crc(data) != data_crc:
-        raise IOError(f'Corrupt TFRecord data CRC in {path}')
+      if verify_crc:
+        if use_native:
+          # One native call checks both masked CRCs.
+          rc = native.check_record(header + data + tail)
+          if rc == -2:
+            raise IOError(f'Corrupt TFRecord length CRC in {path}')
+          if rc is not None and rc < 0:
+            raise IOError(f'Corrupt TFRecord data CRC in {path}')
+          if rc is not None:
+            yield data
+            continue
+        if _masked_crc(header[:8]) != length_crc:
+          raise IOError(f'Corrupt TFRecord length CRC in {path}')
+        data_crc = struct.unpack('<I', tail)[0]
+        if _masked_crc(data) != data_crc:
+          raise IOError(f'Corrupt TFRecord data CRC in {path}')
       yield data
 
 

@@ -75,8 +75,13 @@ def export_model(save_dir: str, export_dir: str,
   model = AutoencoderInference(save_dir, length_seconds=length_seconds,
                                **kwargs)
 
-  # Always write the spec next to the artifact.
-  spec = utils.load_spec(save_dir)
+  # Always write the spec next to the artifact - the MUTATED inference
+  # spec, so a runtime rebuilding the model from this JSON gets the exact
+  # architecture the exported params belong to (reverb removal and the
+  # new n_samples/time_steps included), not the train-time one.
+  spec = dict(utils.load_spec(save_dir))
+  spec['kwargs'] = dict(model.spec['kwargs'], **getattr(
+      model, 'applied_mutations', {}))
   with open(os.path.join(export_dir, 'operative_spec.json'), 'w') as f:
     json.dump(spec, f, indent=2, sort_keys=True)
 

@@ -128,6 +128,10 @@ class AutoencoderInference(_SpecInference):
                      example_features=example,
                      restore_keys=(['decoder', 'encoder', 'preprocessor']
                                    if remove_reverb else None))
+    # The spec mutations this inference model was built with (export
+    # writes them into the artifact's operative spec so spec and params
+    # stay consistent).
+    self.applied_mutations = dict(mutations)
     if remove_reverb:
       # Drop keys that don't exist in this model (e.g. no encoder).
       self.params = {k: v for k, v in self.params.items() if v}

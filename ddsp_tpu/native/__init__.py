@@ -83,3 +83,16 @@ def frame_record(payload: bytes) -> Optional[bytes]:
   out = ctypes.create_string_buffer(12 + len(payload) + 4)
   n = lib.ddsp_frame_record(payload, len(payload), out)
   return out.raw[:n]
+
+
+def check_record(framed: bytes) -> Optional[int]:
+  """Verify one framed record (both masked CRCs) in a single native call.
+
+  Returns the payload length on success, a negative error code on
+  failure (-1 truncated, -2 length-CRC, -3 data-CRC), or None when the
+  native codec is unavailable (caller falls back to pure Python).
+  """
+  lib = load_codec()
+  if lib is None:
+    return None
+  return int(lib.ddsp_check_record(framed, len(framed)))

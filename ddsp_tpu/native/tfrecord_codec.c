@@ -79,13 +79,17 @@ size_t ddsp_frame_record(const uint8_t *payload, size_t n, uint8_t *out) {
  * Returns payload length on success, -1 on truncation, -2 on length-crc
  * mismatch, -3 on data-crc mismatch. */
 long long ddsp_check_record(const uint8_t *buf, size_t m) {
-  if (m < 12) return -1;
+  if (m < 16) return -1;
   uint64_t len;
   memcpy(&len, buf, 8);
   uint32_t len_crc;
   memcpy(&len_crc, buf + 8, 4);
   if (ddsp_masked_crc(buf, 8) != len_crc) return -2;
-  if (m < 12 + len + 4) return -1;
+  /* Compare against the remaining space WITHOUT `12 + len + 4`, which
+   * overflows for attacker-controlled len near UINT64_MAX and would pass
+   * the bound; also reject lengths that alias the error codes. */
+  if (len > m - 16) return -1;
+  if (len > (uint64_t)1 << 62) return -1;
   uint32_t data_crc;
   memcpy(&data_crc, buf + 12 + len, 4);
   if (ddsp_masked_crc(buf + 12, len) != data_crc) return -3;

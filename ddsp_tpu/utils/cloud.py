@@ -21,8 +21,14 @@ logger = logging.getLogger('ddsp_tpu')
 
 
 def download_from_gstorage(gstorage_path: str, local_path: str) -> str:
-  """Download a gs:// object to a local path."""
-  gstorage_path = gstorage_path.strip('gs:/')
+  """Download a gs:// object to a local path.
+
+  (The reference uses strip('gs:/'), which strips the CHARACTER SET
+  {g,s,:,/} from both ends and corrupts names like 'gs://staging-...'
+  or blobs ending in g/s - reference cloud.py:38. Prefix removal only.)
+  """
+  if gstorage_path.startswith('gs://'):
+    gstorage_path = gstorage_path[len('gs://'):]
   bucket_name, _, blob_path = gstorage_path.partition('/')
   try:
     from google.cloud import storage  # pylint: disable=g-import-not-at-top

@@ -55,17 +55,9 @@ def audio_bytes_to_np(wav_data: bytes,
   differs, matching the reference's pydub-based loader semantics.
   """
   from scipy.io import wavfile
+  from ddsp_tpu.utils.audio_io import pcm_to_float_mono
   file_rate, data = wavfile.read(io.BytesIO(wav_data))
-  data = np.asarray(data)
-  if data.dtype.kind == 'i':
-    data = data.astype(np.float32) / np.iinfo(data.dtype).max
-  elif data.dtype.kind == 'u':
-    info = np.iinfo(data.dtype)
-    data = (data.astype(np.float32) - info.max / 2) / (info.max / 2)
-  else:
-    data = data.astype(np.float32)
-  if data.ndim == 2:  # channels -> mono
-    data = data.mean(axis=1)
+  data = pcm_to_float_mono(data)
   if file_rate != sample_rate:
     n_out = int(round(len(data) * sample_rate / file_rate))
     x_old = np.linspace(0.0, 1.0, len(data), endpoint=False)

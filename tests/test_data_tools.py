@@ -208,6 +208,24 @@ class TestMultiProviders:
     examples = [next(mp.get_dataset(shuffle=False)) for _ in range(3)]
     assert all('audio' in e for e in examples)
 
+  def test_zipped_epoch_is_finite_and_repeats_works(self):
+    """get_dataset yields ONE epoch (zip ends at the shortest provider)
+    so repeats=1 consumers terminate instead of looping forever."""
+    zp = data_lib.ZippedProvider(self._providers())
+    epoch = list(zp.get_dataset(shuffle=False))
+    assert len(epoch) == 4  # min provider length
+    batches = list(zp.get_batch(2, shuffle=False, repeats=1))
+    assert len(batches) == 2
+
+  def test_mixed_epoch_is_finite_and_covers_all(self):
+    """One Mixed epoch yields every example from every provider, then
+    stops; the base get_batch repeats then work."""
+    mp = data_lib.MixedProvider(self._providers(), seed=0)
+    epoch = list(mp.get_dataset(shuffle=False))
+    assert len(epoch) == 8  # 4 + 4, all providers exhausted
+    batches = list(mp.get_batch(4, shuffle=False, repeats=1))
+    assert len(batches) == 2
+
 
 class TestPrepareRecords:
 

@@ -53,3 +53,44 @@ class TestNativeCodec:
     assert len(back) == 3
     for ex, b in zip(examples, back):
       np.testing.assert_allclose(ex['audio'], b['audio'])
+
+
+def test_native_check_record_validates_and_rejects():
+  from ddsp_tpu import native
+  if native.load_codec() is None:
+    import pytest
+    pytest.skip('no native codec on this box')
+  payload = b'hello tfrecord'
+  framed = native.frame_record(payload)
+  assert native.check_record(framed) == len(payload)
+  # Truncated buffer.
+  assert native.check_record(framed[:-2]) == -1
+  # Corrupt length CRC.
+  bad = bytearray(framed); bad[9] ^= 0xFF
+  assert native.check_record(bytes(bad)) == -2
+  # Corrupt payload.
+  bad = bytearray(framed); bad[13] ^= 0xFF
+  assert native.check_record(bytes(bad)) == -3
+  # Huge forged length must not wrap the bounds check: forge len and a
+  # VALID masked CRC over the forged length header.
+  import struct
+  forged_len = struct.pack('<Q', (1 << 64) - 16)
+  crc = native.masked_crc(forged_len)
+  forged = forged_len + struct.pack('<I', crc) + framed[12:]
+  assert native.check_record(forged) == -1
+
+
+def test_read_records_native_verify_path(tmp_path):
+  from ddsp_tpu import native
+  from ddsp_tpu.data import tfrecord
+  path = str(tmp_path / 'x.tfrecord')
+  recs = [b'a' * 10, b'b' * 100]
+  tfrecord.write_records(path, recs)
+  assert list(tfrecord.read_records(path, verify_crc=True)) == recs
+  # Corrupt a payload byte: verify must raise.
+  with open(path, 'r+b') as f:
+    f.seek(13)
+    f.write(b'Z')
+  import pytest
+  with pytest.raises(IOError, match='CRC'):
+    list(tfrecord.read_records(path, verify_crc=True))
