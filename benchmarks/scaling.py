@@ -71,7 +71,11 @@ def main():
     mesh = create_mesh(n_data=n, devices=devices[:n])
     trainer = Trainer(model, mesh=mesh)
     state = trainer.init(batch)
-    batch = jax.device_put(batch)
+    # Shard over the mesh up front: a bare device_put would commit the
+    # whole batch to device 0 and every timed step would pay the
+    # redistribution, biasing multi-device numbers.
+    from ddsp_tpu.parallel.mesh import shard_batch  # pylint: disable=g-import-not-at-top
+    batch = shard_batch(batch, mesh)
 
     state, losses = trainer.train_step(state, batch)
     np.asarray(jax.tree_util.tree_leaves(losses)[0]).ravel()[:1]

@@ -260,22 +260,11 @@ def bench_train_step(batch_size=4, iters=2):
   variables = sum([m.trainable_variables for m in modules], []) + [reverb_ir]
   opt = tf.keras.optimizers.Adam(3e-4)
 
-  def harmonic_synthesis_hop(f0, amps, hd):
-    # hop 64: window upsample of 1000 frames to 64000 samples.
-    ratios = tf.linspace(1.0, float(N_HARMONICS),
-                         N_HARMONICS)[tf.newaxis, tf.newaxis, :]
-    harm_freqs = f0 * ratios
-    hd = tf.where(harm_freqs >= SR / 2.0, tf.zeros_like(hd), hd)
-    hd = hd / (tf.reduce_sum(hd, axis=-1, keepdims=True) + 1e-7)
-    freq_env = resample_linear(harm_freqs, N_SAMPLES)
-    amp_env = upsample_with_windows(amps * hd, N_SAMPLES)
-    return oscillator_bank(freq_env, amp_env)
-
   @tf.function
   def step():
     with tf.GradientTape() as tape:
       amps, hd, noise_mags = decoder(f0_scaled, ld_scaled)
-      harmonic = harmonic_synthesis_hop(
+      harmonic = harmonic_synthesis(
           f0_hz, exp_sigmoid(amps), exp_sigmoid(hd))
       ir = frequency_impulse_response(exp_sigmoid(noise_mags - 5.0), 257)
       noise_sig = fft_convolve(noise, ir)

@@ -93,6 +93,9 @@ def main():
   noise = np.zeros(kw['n_noise_magnitudes'], np.float32)
 
   t_extract, t_predict, t_synth, t_total = [], [], [], []
+  # Warmup hops (jit compilation + cache) excluded from percentiles; keep
+  # at least one measured hop for small --hops values.
+  warmup = min(20, max(0, args.hops - 1))
   for i in range(args.hops):
     frame = stream[i * hop:i * hop + frame_size]
 
@@ -112,7 +115,7 @@ def main():
     t3 = time.perf_counter()
 
     amps, hd, noise = (np.asarray(amps), np.asarray(hd), np.asarray(noise))
-    if i >= 20:  # skip jit warmup hops
+    if i >= warmup:  # skip jit warmup hops
       t_extract.append(t1 - t0)
       t_predict.append(t2 - t1)
       t_synth.append(t3 - t2)

@@ -25,6 +25,19 @@ class BaseEvaluator:
   def __init__(self, sample_rate: int = 16000, frame_rate: int = 250):
     self._sample_rate = sample_rate
     self._frame_rate = frame_rate
+    self._sample_cursor = (None, 0)  # (step, global example offset)
+
+  def _next_sample_offset(self, step: int, batch_len: int) -> int:
+    """Global example offset for this step's next sample batch.
+
+    sample() is called once per eval batch; without an offset each batch
+    would overwrite the previous one's artifact files in step_<step>/.
+    """
+    last_step, offset = self._sample_cursor
+    if last_step != step:
+      offset = 0
+    self._sample_cursor = (step, offset + batch_len)
+    return offset
 
   def evaluate(self, batch: Dict[str, Any], outputs: Dict[str, Any],
                losses: Dict[str, float]):
@@ -52,8 +65,9 @@ class BasicEvaluator(BaseEvaluator):
 
   def sample(self, batch, outputs, save_dir, step):
     audio_gen = np.asarray(outputs['audio_synth'])
+    offset = self._next_sample_offset(step, len(audio_gen))
     summaries.sample_batch(save_dir, step, batch, audio_gen,
-                           self._sample_rate)
+                           self._sample_rate, offset=offset)
 
   def flush(self, step):
     results = {f'losses/{k}': float(np.mean(v))
@@ -152,11 +166,12 @@ class MidiAutoencoderEvaluator(BaseEvaluator):
                                     np.asarray(outputs['pianoroll']))
 
   def sample(self, batch, outputs, save_dir, step):
+    offset = self._next_sample_offset(step, len(batch['audio']))
     for k in ['midi_audio', 'synth_audio']:
       if k in outputs and outputs[k] is not None:
         summaries.sample_batch(save_dir, step, batch,
                                np.asarray(outputs[k]), self._sample_rate,
-                               name=k)
+                               name=k, offset=offset)
     # Pitch / loudness / synth-param inspection plots
     # (reference summaries.py:254-400 midiae_*_summary).
     out_dir = os.path.join(save_dir, 'samples', f'step_{step}')

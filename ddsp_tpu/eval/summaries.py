@@ -86,19 +86,24 @@ def waveform_summary(path: str, audio: np.ndarray,
 
 def sample_batch(save_dir: str, step: int, batch, audio_gen,
                  sample_rate: int = 16000, max_outputs: int = 4,
-                 name: str = 'synth'):
-  """Write wav + figure artifacts for up to max_outputs examples."""
+                 name: str = 'synth', offset: int = 0):
+  """Write wav + figure artifacts for up to max_outputs examples.
+
+  `offset` numbers examples globally across batches so successive batches
+  of the same step don't overwrite each other's files.
+  """
   out_dir = os.path.join(save_dir, 'samples', f'step_{step}')
   audio = np.asarray(batch['audio'])
   audio_gen = np.asarray(audio_gen)
   for i in range(min(len(audio), max_outputs)):
-    write_wav(os.path.join(out_dir, f'{i}_original.wav'), audio[i],
+    j = offset + i
+    write_wav(os.path.join(out_dir, f'{j}_original.wav'), audio[i],
               sample_rate)
-    write_wav(os.path.join(out_dir, f'{i}_{name}.wav'), audio_gen[i],
+    write_wav(os.path.join(out_dir, f'{j}_{name}.wav'), audio_gen[i],
               sample_rate)
-    spectrogram_summary(os.path.join(out_dir, f'{i}_{name}_spectrogram.png'),
+    spectrogram_summary(os.path.join(out_dir, f'{j}_{name}_spectrogram.png'),
                         audio[i], audio_gen[i], sample_rate)
-    waveform_summary(os.path.join(out_dir, f'{i}_{name}_waveform.png'),
+    waveform_summary(os.path.join(out_dir, f'{j}_{name}_waveform.png'),
                      audio[i], audio_gen[i])
   logger.info('Wrote samples to %s', out_dir)
   return out_dir

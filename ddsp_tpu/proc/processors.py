@@ -116,6 +116,11 @@ class Mix(Processor):
 
     mix_level = jax.nn.sigmoid(nn_out_mix_level)
     mix_level = resample(mix_level, n_time_one)
+    # Align ranks: a [batch, n, 1] level against 2-D [batch, n] signals
+    # would broadcast get_signal to [batch, n, n] (quadratic memory, not
+    # audio).
+    if mix_level.ndim == signal_one.ndim + 1:
+      mix_level = mix_level[..., 0]
     return {
         'signal_one': signal_one,
         'signal_two': signal_two,

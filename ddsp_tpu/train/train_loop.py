@@ -129,8 +129,16 @@ def train(data_iterator: Iterator[Dict[str, Any]],
       profiling = True
 
     state, losses = trainer.train_step(state, batch)
-    batch = next(data_iterator)
     step += 1
+    if step < num_steps:
+      # Don't pull past the end: a finite iterator with exactly enough
+      # batches would raise StopIteration here and skip the final save.
+      try:
+        batch = next(data_iterator)
+      except StopIteration:
+        logger.info('Data iterator exhausted at step %d.', step)
+        pending_losses.append(losses)
+        break
     pending_losses.append(losses)
 
     if profiling and step >= profile_start + profile_steps:

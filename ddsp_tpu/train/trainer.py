@@ -176,6 +176,10 @@ class Trainer:
     """
     import orbax.checkpoint as ocp  # pylint: disable=g-import-not-at-top
     mgr = self._checkpoint_manager(restore_dir)
+    # The manager caches the step list at construction; a separate train
+    # process writes new step dirs it can't see. Re-scan, so the eval
+    # sidecar's repeated restore() calls pick up fresh checkpoints.
+    mgr.reload()
     step = mgr.latest_step()
     if step is None:
       return state

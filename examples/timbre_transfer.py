@@ -54,10 +54,13 @@ def main():
     stats = postprocessing.load_dataset_statistics(args.stats)
     mask_on, _ = postprocessing.detect_notes(loudness_db[None],
                                              f0_conf[None])
-    _, loudness_norm = postprocessing.fit_quantile_transform(
-        loudness_db[None], mask_on,
-        inv_quantile=stats['quantile_transform'])
-    loudness_db = loudness_norm.ravel()[:n]
+    if np.any(mask_on):
+      _, loudness_norm = postprocessing.fit_quantile_transform(
+          loudness_db[None], mask_on,
+          inv_quantile=stats['quantile_transform'])
+      loudness_db = loudness_norm.ravel()[:n]
+    else:
+      print('No note-on frames detected; skipping loudness normalization.')
 
   loudness_db = loudness_db + args.loudness_shift_db
 

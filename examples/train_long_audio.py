@@ -28,7 +28,9 @@ def main():
   parser.add_argument('--time_shards', type=int, default=4)
   parser.add_argument('--data_shards', type=int, default=1)
   parser.add_argument('--steps', type=int, default=50)
-  parser.add_argument('--simulate_cpu', action='store_true', default=True)
+  # On a real TPU slice pass --no-simulate_cpu to use the actual devices.
+  parser.add_argument('--simulate_cpu', default=True,
+                      action=argparse.BooleanOptionalAction)
   args = parser.parse_args()
 
   n_devices = args.time_shards * args.data_shards
