@@ -27,11 +27,28 @@ BATCH = 16
 
 
 def main():
+  import threading
+
+  # The axon TPU plugin blocks FOREVER in backend init when the device
+  # tunnel is down; fail fast with a diagnosable message instead of
+  # hanging the driver. (Disarmed the moment jax.devices() returns.)
+  backend_ready = threading.Event()
+
+  def _watchdog():
+    if not backend_ready.wait(timeout=180):
+      print('bench.py: TPU backend failed to initialize within 180 s '
+            '(device tunnel down?); aborting instead of hanging.',
+            file=sys.stderr, flush=True)
+      os._exit(3)
+
+  threading.Thread(target=_watchdog, daemon=True).start()
+
   import jax
   import jax.numpy as jnp
   from ddsp_tpu import proc
 
   devices = jax.devices()
+  backend_ready.set()
 
   dag = [
       (proc.Harmonic(n_samples=N_SAMPLES, sample_rate=SR, name='harmonic'),
