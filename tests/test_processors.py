@@ -175,6 +175,18 @@ class TestRouting:
     want = np.sqrt(0.5) * 1.0 + (1.0 - np.sqrt(0.5)) * -1.0
     np.testing.assert_allclose(np.asarray(out), want, atol=1e-3)
 
+  def test_mix_2d_signals_keep_rank(self):
+    """A [batch, n, 1] mix level against 2-D signals must yield 2-D audio
+    (the old broadcast built a [batch, n, n] matrix instead)."""
+    module = proc.Mix()
+    a = np.ones((1, 100), np.float32)
+    b = -np.ones((1, 100), np.float32)
+    level = np.zeros((1, 10, 1), np.float32)
+    out, _ = init_and_apply(module, a, b, level)
+    assert out.shape == (1, 100), out.shape
+    want = np.sqrt(0.5) * 1.0 + (1.0 - np.sqrt(0.5)) * -1.0
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-3)
+
   def test_mix_length_mismatch_raises(self):
     module = proc.Mix()
     a = np.ones((1, 100), np.float32)
