@@ -85,6 +85,31 @@ def _packing(hop: int) -> Optional[Tuple[int, int]]:
   return None
 
 
+# Per-core VMEM the kernels must fit in (v5e has 16 MiB scoped VMEM;
+# leave headroom for Mosaic temporaries).
+_VMEM_BUDGET_BYTES = int(16 * 1024 * 1024 * 0.9)
+
+
+def _kernel_vmem_bytes(n_samples: int, hop: int) -> int:
+  """Worst-case (backward) per-core VMEM footprint of the fused kernel.
+
+  Streams (double-buffered): phase, f0, upstream grad in; dphase out -
+  each a [block_rows, W] block - plus the taps: resident
+  [n_rows_pad + 1, LANES] when P == 1 (held across a row's grid steps),
+  else a [n_taps, block_rows, LANES] block.
+  """
+  p, w = _packing(hop)
+  n_rows = -(-n_samples // w)
+  block_rows = _pick_block_rows(n_rows)
+  n_rows_pad = -(-n_rows // block_rows) * block_rows
+  streams = 2 * 4 * block_rows * w * 4
+  if p == 1:
+    taps = (n_rows_pad + 1) * _LANES * 4
+  else:
+    taps = 2 * (p + 1) * block_rows * _LANES * 4
+  return streams + taps
+
+
 def harmonic_kernel_supported(n_samples: int, n_frames: int,
                               n_harmonics: int) -> bool:
   """Shape constraints for the fused kernel (else use the jnp path)."""
@@ -95,7 +120,13 @@ def harmonic_kernel_supported(n_samples: int, n_frames: int,
   hop = n_samples // n_frames
   # Lane-friendly hops: either a multiple of the 128-lane width, or a
   # power-of-two fraction of it (multiple hops packed per lane row).
-  return _packing(hop) is not None
+  if _packing(hop) is None:
+    return False
+  # VMEM bound: degenerate shapes (hop the size of the whole signal, or
+  # resident taps for hours-long audio) would fail at Mosaic compile
+  # time; fall back to the jnp path instead. Long audio should use
+  # parallel.time_shard anyway.
+  return _kernel_vmem_bytes(n_samples, hop) <= _VMEM_BUDGET_BYTES
 
 
 def _weights(hop: int, method: str) -> Tuple[np.ndarray, np.ndarray]:

@@ -186,3 +186,18 @@ class TestFusedHarmonic:
     a = np.asarray(_jnp(f0, amps, hd, n))
     assert np.abs(b - golden).mean() <= np.abs(a - golden).mean() * 1.5
     assert np.abs(b - golden).mean() < 5e-3
+
+
+def test_vmem_gate_rejects_degenerate_shapes():
+  """Shapes whose kernel footprint exceeds scoped VMEM must fall back to
+  the jnp path instead of failing at Mosaic compile time."""
+  from ddsp_tpu.ops.pallas_kernels.harmonic import harmonic_kernel_supported
+  # Canonical shapes stay supported.
+  assert harmonic_kernel_supported(64000, 250, 100)   # hop 256
+  assert harmonic_kernel_supported(64000, 1000, 60)   # hop 64
+  assert harmonic_kernel_supported(16000, 50, 100)    # VST hop 320
+  # One frame covering the whole 4-s signal: W = 64000, blocks blow VMEM.
+  assert not harmonic_kernel_supported(64000, 1, 100)
+  # Hour-long audio at hop 128: resident taps alone exceed VMEM.
+  assert not harmonic_kernel_supported(16000 * 3600, 16000 * 3600 // 128,
+                                       100)
