@@ -58,9 +58,13 @@ def test_multihost_flag_calls_distributed_initialize(tmp_path, monkeypatch):
   import jax
   from ddsp_tpu import run as run_mod
 
-  calls = []
+  events = []
   monkeypatch.setattr(jax.distributed, 'initialize',
-                      lambda *a, **k: calls.append(a))
+                      lambda *a, **k: events.append('dist_init'))
+  real_devices = jax.devices
+  monkeypatch.setattr(jax, 'devices',
+                      lambda *a, **k: (events.append('devices'),
+                                       real_devices(*a, **k))[1])
   save_dir = str(tmp_path / 'mh_run')
   run_mod.main([
       '--mode', 'train', '--multihost', '--platform', 'cpu',
@@ -72,7 +76,11 @@ def test_multihost_flag_calls_distributed_initialize(tmp_path, monkeypatch):
       '--batch_size', '2', '--n_devices', '1', '--num_steps', '2',
       '--steps_per_save', '2', '--steps_per_summary', '2',
   ])
-  assert len(calls) == 1
+  assert events.count('dist_init') == 1
+  # The invariant: distributed init happens BEFORE any device query (on a
+  # real pod, initializing after backend init fails).
+  assert 'devices' in events
+  assert events.index('dist_init') < events.index('devices')
   assert os.path.exists(os.path.join(save_dir, 'operative_spec.json'))
 
 

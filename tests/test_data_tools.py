@@ -87,9 +87,10 @@ class TestPostprocessing:
     assert abs(tuning - 0.3) < 0.05
     tuned = postprocessing.auto_tune(f0_midi, tuning, mask, amount=1.0,
                                      chromatic=True)
-    # Fully tuned: lands on the tuning-offset grid.
-    np.testing.assert_allclose((tuned - tuning) % 1.0 % 1.0,
-                               np.zeros(t), atol=0.05)
+    # Fully tuned: lands on the tuning-offset grid. Circular distance to
+    # the nearest integer (residues epsilon below 1.0 are also on-grid).
+    r = (tuned - tuning) % 1.0
+    assert np.all(np.minimum(r, 1.0 - r) < 0.05)
 
 
 class TestHeuristics:

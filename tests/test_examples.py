@@ -1,5 +1,6 @@
 """Smoke tests for the example scripts (tiny configs, in-process)."""
 
+import numpy as np
 import pytest
 
 
@@ -10,7 +11,7 @@ def test_pitch_detection_example(tmp_path):
       '--steps', '2', '--batch_size', '2', '--n_samples', '4096',
       '--n_sinusoids', '8', '--n_harmonics', '8', '--platform', 'cpu',
       '--save_dir', str(tmp_path / 'pitch')])
-  assert err >= 0.0  # ran end to end and produced a finite metric
+  assert np.isfinite(err) and err >= 0.0  # finite metric, end to end
 
 
 @pytest.mark.slow
@@ -19,7 +20,7 @@ def test_train_vst_example(tmp_path):
   rms = train_vst.main([
       '--steps', '2', '--stream_hops', '4', '--platform', 'cpu',
       '--save_dir', str(tmp_path / 'vst')])
-  assert rms >= 0.0
+  assert np.isfinite(rms) and rms >= 0.0
 
 
 @pytest.mark.slow

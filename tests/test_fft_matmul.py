@@ -44,11 +44,15 @@ class TestMatmulFFT:
     np.testing.assert_allclose(out[0, 10:8010], x[0], atol=1e-4)
 
   def test_use_matmul_fft_gating(self):
-    import jax
-    on_tpu = jax.default_backend() == 'tpu'
-    assert fm.use_matmul_fft(131072) == on_tpu
-    assert not fm.use_matmul_fft(8192)      # too small
-    assert not fm.use_matmul_fft(100000)    # not a power of two
+    from unittest import mock
+    # Pin BOTH branches explicitly (computing the expected value from the
+    # implementation's own backend check would be tautological on CPU CI).
+    with mock.patch('jax.default_backend', return_value='tpu'):
+      assert fm.use_matmul_fft(131072)
+      assert not fm.use_matmul_fft(8192)      # too small
+      assert not fm.use_matmul_fft(100000)    # not a power of two
+    with mock.patch('jax.default_backend', return_value='cpu'):
+      assert not fm.use_matmul_fft(131072)
 
 
 class TestMatmulSmallFFT:
@@ -103,11 +107,15 @@ class TestMatmulSmallFFT:
     np.testing.assert_allclose(out / scale, ref / scale, atol=1e-5)
 
   def test_use_matmul_small_fft_gating(self):
-    import jax
-    on_tpu = jax.default_backend() == 'tpu'
-    assert fm.use_matmul_small_fft(512) == on_tpu
-    assert not fm.use_matmul_small_fft(8192)   # too large
-    assert not fm.use_matmul_small_fft(384)    # not a power of two
+    from unittest import mock
+    with mock.patch('jax.default_backend', return_value='tpu'):
+      assert fm.use_matmul_small_fft(512)
+      assert not fm.use_matmul_small_fft(8192)   # too large
+      assert not fm.use_matmul_small_fft(384)    # not a power of two
+      # use_matmul_stft delegates to the same predicate.
+      assert fm.use_matmul_stft(512)
+    with mock.patch('jax.default_backend', return_value='cpu'):
+      assert not fm.use_matmul_small_fft(512)
 
 
 class TestFusedFrequencyFilter:

@@ -230,7 +230,9 @@ def test_valid_padding_pow2_conv_length_not_empty():
 
 def test_frame_step_one_uses_gather_path():
   """frame(x, L, 1) (variable_length_delay's shape) must not unroll into
-  L slices; it should produce the same values as the general gather."""
+  L slices; pin the structure (one gather, no L-operand concat), not just
+  the values (which both paths produce identically)."""
+  import jax
   import jax.numpy as jnp
   from ddsp_tpu.ops import fftconv
   x = jnp.arange(32, dtype=jnp.float32)[jnp.newaxis, :]
@@ -238,3 +240,12 @@ def test_frame_step_one_uses_gather_path():
   assert frames.shape == (1, 25, 8)
   expect = np.stack([np.arange(i, i + 8) for i in range(25)])
   np.testing.assert_array_equal(np.asarray(frames[0]), expect)
+
+  # Large k (the delay-line case: k = frame_length / 1 = 400 for ModDelay)
+  # must take the single-gather path, not emit k slices + a k-way concat.
+  x2 = jnp.arange(128, dtype=jnp.float32)[jnp.newaxis, :]
+  jaxpr = jax.make_jaxpr(lambda a: fftconv.frame(a, 32, 1,
+                                                 pad_end=False))(x2)
+  prims = [str(eqn.primitive) for eqn in jaxpr.jaxpr.eqns]
+  assert prims.count('slice') < 8, prims
+  assert 'concatenate' not in prims, prims

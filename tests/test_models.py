@@ -168,5 +168,16 @@ def test_partial_restore_by_submodule(tmp_path):
   ckpt_dec = jax.tree_util.tree_leaves(state.params['decoder'])[0]
   rest_dec = jax.tree_util.tree_leaves(restored.params['decoder'])[0]
   np.testing.assert_allclose(np.asarray(ckpt_dec), np.asarray(rest_dec))
-  # ...while other modules keep their fresh initialization.
+  # ...while other modules keep their fresh (seed=99) initialization:
+  # some non-decoder leaf must DIFFER from the checkpoint, or the
+  # restore_keys filter restored everything.
+  other = [k for k in restored.params if k != 'decoder']
+  assert other
+  differs = False
+  for k in other:
+    for cl, rl in zip(jax.tree_util.tree_leaves(state.params[k]),
+                      jax.tree_util.tree_leaves(restored.params[k])):
+      if not np.allclose(np.asarray(cl), np.asarray(rl)):
+        differs = True
+  assert differs, 'non-decoder params matched the checkpoint'
   assert int(restored.step) == 0

@@ -52,7 +52,11 @@ class TestNativeCodec:
     back = list(tfrecord.read_examples(path))
     assert len(back) == 3
     for ex, b in zip(examples, back):
-      np.testing.assert_allclose(ex['audio'], b['audio'])
+      # Compare EVERY feature (a parser bug could round-trip the first
+      # feature while corrupting the rest).
+      assert set(b) >= set(ex)
+      for k in ex:
+        np.testing.assert_allclose(ex[k], b[k], err_msg=k)
 
 
 def test_native_check_record_validates_and_rejects():

@@ -171,7 +171,8 @@ class TestFusedHarmonic:
 
   def test_long_phase_accuracy(self):
     # The kernel wraps phase before multiplying by harmonic ratios, so its
-    # error vs a float64 golden must not exceed the jnp path's.
+    # error vs a float64 golden must not meaningfully exceed the jnp
+    # path's (same-order float32 noise; the bound below allows 5%).
     n = 16384
     f0, amps, hd = _controls(t=16, h=24)
     f0_env = np.asarray(resample(f0, n), np.float64)
@@ -184,7 +185,7 @@ class TestFusedHarmonic:
                     axis=-1)
     b = np.asarray(_pallas(f0, amps, hd, n))
     a = np.asarray(_jnp(f0, amps, hd, n))
-    assert np.abs(b - golden).mean() <= np.abs(a - golden).mean() * 1.5
+    assert np.abs(b - golden).mean() <= np.abs(a - golden).mean() * 1.05
     assert np.abs(b - golden).mean() < 5e-3
 
 

@@ -29,7 +29,10 @@ def test_stft_matches_tf_signal():
                           frame_step=int(frame_size * (1 - overlap)),
                           fft_length=None, pad_end=pad_end).numpy()
     assert got.shape == want.shape
-    np.testing.assert_allclose(np.abs(got), np.abs(want), atol=2e-3)
+    # Compare the complex values (real+imag), not just magnitudes: the
+    # contract includes phase (conjugation/window-sign bugs must fail).
+    np.testing.assert_allclose(np.real(got), np.real(want), atol=2e-3)
+    np.testing.assert_allclose(np.imag(got), np.imag(want), atol=2e-3)
 
 
 def test_compute_mag_shape():
