@@ -92,23 +92,25 @@ class MixedProvider(BaseMultiProvider):
     self._rng = np.random.RandomState(seed)
 
   def get_dataset(self, shuffle: bool = True):
-    """One epoch: sample among providers until every epoch is exhausted.
+    """One epoch: ratio-weighted sampling until a provider exhausts.
 
-    Finite (like tf.data sample_from_datasets over finite datasets), so
-    the base get_batch's `repeats` semantics hold. Exhausted providers
-    drop out and the sampling probabilities renormalize over the rest.
+    Finite (like tf.data sample_from_datasets with
+    stop_on_empty_dataset=True), so the base get_batch's `repeats`
+    semantics hold AND the realized long-run mix matches
+    batch_size_ratios — draining exhausted providers to the end would
+    make the mix dataset-size-proportional instead. Zero-ratio providers
+    are never sampled.
     """
     iterators = [iter(dp.get_dataset(shuffle=shuffle))
                  for dp in self._data_providers]
     probs = np.asarray(self._batch_size_ratios, np.float64)
-    alive = list(range(len(iterators)))
-    while alive:
-      p = probs[alive] / probs[alive].sum()
-      idx = alive[self._rng.choice(len(alive), p=p)]
+    probs = probs / probs.sum()
+    while True:
+      idx = int(self._rng.choice(len(iterators), p=probs))
       try:
         yield next(iterators[idx])
       except StopIteration:
-        alive.remove(idx)
+        return
 
 
 class SyntheticNotesProvider(DataProvider):

@@ -158,14 +158,19 @@ def prepare_records(input_audio_paths: Iterable[str],
 
     chunks = _chunk(audio, int(chunk_secs * sample_rate))
     chunks_16k = _chunk(audio_16k, int(chunk_secs * CREPE_SAMPLE_RATE))
-    if len(chunks) != len(chunks_16k):
-      # Resampling rounding can differ by a sample near a chunk boundary;
-      # zip() would then silently DROP training audio (the reference
-      # asserts equality here, prepare_tfrecord_lib.py). Fail loudly.
+    if abs(len(chunks) - len(chunks_16k)) > 1:
       raise ValueError(
           f'{path}: chunk count mismatch between {sample_rate} Hz '
           f'({len(chunks)}) and 16 kHz ({len(chunks_16k)}) audio; pick a '
           'chunk_secs that yields whole chunks at both rates.')
+    if len(chunks) != len(chunks_16k):
+      # Resampling rounding can add/remove one trailing (mostly-padding)
+      # chunk; drop it LOUDLY instead of zip()'s silent discard (the
+      # reference asserts equality here, prepare_tfrecord_lib.py).
+      logging.warning(
+          '%s: dropping one trailing chunk (%d chunks at %d Hz vs %d at '
+          '16 kHz - resampling rounding at the file end).',
+          path, len(chunks), sample_rate, len(chunks_16k))
     for c, c16 in zip(chunks, chunks_16k):
       examples.append({'audio': c, 'audio_16k': c16})
 

@@ -78,8 +78,14 @@ def read_records(path: str, verify_crc: bool = False) -> Iterator[bytes]:
                       f'bytes cut short)')
       if verify_crc:
         if use_native:
-          # One native call checks both masked CRCs.
+          # One native call checks both masked CRCs. Map each error code
+          # to its own message (-1 is unreachable here because the
+          # len(data)/len(tail) pre-check above already raised, but keep
+          # the mapping honest for future callers).
           rc = native.check_record(header + data + tail)
+          if rc == -1:
+            raise IOError(f'Truncated TFRecord in {path} (record of '
+                          f'{length} bytes cut short)')
           if rc == -2:
             raise IOError(f'Corrupt TFRecord length CRC in {path}')
           if rc is not None and rc < 0:

@@ -173,15 +173,17 @@ class MidiAutoencoderEvaluator(BaseEvaluator):
                                np.asarray(outputs[k]), self._sample_rate,
                                name=k, offset=offset)
     # Pitch / loudness / synth-param inspection plots
-    # (reference summaries.py:254-400 midiae_*_summary).
+    # (reference summaries.py:254-400 midiae_*_summary) - same global
+    # offset so successive eval batches don't overwrite the figures.
     out_dir = os.path.join(save_dir, 'samples', f'step_{step}')
     if self._f0_key in batch:
       summaries.midiae_f0_summary(out_dir, np.asarray(batch[self._f0_key]),
-                                  outputs)
+                                  outputs, offset=offset)
     if self._db_key in batch:
       summaries.midiae_ld_summary(out_dir, np.asarray(batch[self._db_key]),
-                                  outputs, db_key=self._db_key)
-    summaries.midiae_sp_summary(out_dir, outputs)
+                                  outputs, db_key=self._db_key,
+                                  offset=offset)
+    summaries.midiae_sp_summary(out_dir, outputs, offset=offset)
 
   def flush(self, step):
     return self._midi_metrics.flush(step)

@@ -173,7 +173,7 @@ def _save(fig, path):
 
 
 def midiae_f0_summary(out_dir: str, f0_hz: np.ndarray, outputs,
-                      max_outputs: int = 4):
+                      max_outputs: int = 4, offset: int = 0):
   """Plot MidiAE pitch traces: input f0, quantized MIDI, reconstruction.
 
   Reference behavior: summaries.py:254 (midiae_f0_summary) — one figure per
@@ -198,12 +198,13 @@ def midiae_f0_summary(out_dir: str, f0_hz: np.ndarray, outputs,
               linewidth=0.75, alpha=0.7, label='z_pitch')
     ax.set_ylabel('pitch (MIDI)')
     ax.legend()
-    _save(fig, os.path.join(out_dir, f'{i}_midiae_f0.png'))
+    _save(fig, os.path.join(out_dir, f'{offset + i}_midiae_f0.png'))
     plt.close(fig)
 
 
 def midiae_ld_summary(out_dir: str, ld_feat: np.ndarray, outputs,
-                      db_key: str = 'loudness_db', max_outputs: int = 4):
+                      db_key: str = 'loudness_db', max_outputs: int = 4,
+                      offset: int = 0):
   """Plot MidiAE loudness traces: input db, reconstruction, velocity steps.
 
   Reference behavior: summaries.py:294 (midiae_ld_summary).
@@ -225,11 +226,12 @@ def midiae_ld_summary(out_dir: str, ld_feat: np.ndarray, outputs,
               label='q_vel')
     ax.set_ylabel(db_key)
     ax.legend()
-    _save(fig, os.path.join(out_dir, f'{i}_midiae_ld.png'))
+    _save(fig, os.path.join(out_dir, f'{offset + i}_midiae_ld.png'))
     plt.close(fig)
 
 
-def midiae_sp_summary(out_dir: str, outputs, max_outputs: int = 4):
+def midiae_sp_summary(out_dir: str, outputs, max_outputs: int = 4,
+                      offset: int = 0):
   """Plot MidiAE synth-control reconstructions (amps / hd / noise).
 
   Reference behavior: summaries.py:325 (midiae_sp_summary) — for each of
@@ -262,5 +264,5 @@ def midiae_sp_summary(out_dir: str, outputs, max_outputs: int = 4):
           im = ax.imshow(data.T, aspect='auto', origin='lower')
           fig.colorbar(im, ax=ax)
         ax.set_title(title)
-      _save(fig, os.path.join(out_dir, f'{i}_midiae_{key}.png'))
+      _save(fig, os.path.join(out_dir, f'{offset + i}_midiae_{key}.png'))
       plt.close(fig)

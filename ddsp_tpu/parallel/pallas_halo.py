@@ -41,6 +41,11 @@ Array = jax.Array
 # out round-robin at trace time (same order on every device - SPMD), so
 # adjacent exchanges in program order always differ; since each barrier
 # bounds inter-chip drift to one exchange, that suffices.
+#
+# MULTIHOST CAVEAT: the counter is process-local, so hosts must trace the
+# same programs in the same order (the normal SPMD setup, e.g. run.py
+# --multihost). If one host traces extra programs first, pass explicit
+# `collective_id`s so the shared program gets identical ids everywhere.
 _COLLECTIVE_ID_POOL = 16
 _collective_id_counter = itertools.count()
 

@@ -50,15 +50,22 @@ TIME_AXIS = 'time'
 DATA_AXIS = 'data'
 
 
-def _batch_axis(mesh: Mesh):
+def _batch_axis(mesh: Mesh, batch_size: Optional[int] = None):
   """Mesh axis the batch dim shards over ('data' when present, else None).
 
   The user-facing wrappers shard every batched operand over this axis so
   data parallelism composes with time sharding: each device touches only
   its local batch rows (no all-gather of the global batch onto every
-  time shard).
+  time shard). A batch not divisible by the data-axis size (e.g. one
+  long clip evaluated on the training mesh) falls back to replication so
+  the call still works.
   """
-  return DATA_AXIS if DATA_AXIS in mesh.axis_names else None
+  if DATA_AXIS not in mesh.axis_names:
+    return None
+  n = mesh.shape[DATA_AXIS]
+  if batch_size is not None and batch_size % n != 0:
+    return None
+  return DATA_AXIS
 
 
 # ---------------------------------------------------------------------------
@@ -257,7 +264,7 @@ def time_sharded_harmonic_synthesis(mesh: Mesh,
   """
   kwargs = dict(n_samples=n_samples, sample_rate=sample_rate,
                 amp_resample_method=amp_resample_method)
-  b = _batch_axis(mesh)
+  b = _batch_axis(mesh, int(frequencies.shape[0]))
   if harmonic_distribution is None:
     fn = functools.partial(local_harmonic_synthesis,
                            harmonic_distribution=None, **kwargs)
@@ -294,7 +301,7 @@ def time_sharded_fft_convolve(mesh: Mesh,
   # replicated ir operand; the shard_map transpose still inserts the psum
   # for the replicated input's cotangent (verified by the gradient
   # equivalence test).
-  b = _batch_axis(mesh)
+  b = _batch_axis(mesh, int(audio.shape[0]))
   return jax.shard_map(
       fn, mesh=mesh,
       in_specs=(P(b, TIME_AXIS), P(b)),
@@ -431,7 +438,7 @@ def time_sharded_spectral_loss(mesh: Mesh,
   LTV filtering, and the training loss all stay time-sharded; only scalar
   psums and tiny halos cross chips.
   """
-  b = _batch_axis(mesh)
+  b = _batch_axis(mesh, int(audio.shape[0]))
   fn = functools.partial(local_spectral_loss, fft_sizes=tuple(fft_sizes),
                          mag_weight=mag_weight,
                          logmag_weight=logmag_weight,

@@ -104,98 +104,98 @@ def train(data_iterator: Iterator[Dict[str, Any]],
     data_iterator = prefetch_to_device(
         data_iterator, size=prefetch,
         sharding=batch_sharding(trainer.mesh))
-  batch = next(data_iterator)
-  state = trainer.init(batch)
-  logger.info('Trainer initialized: %d params.', trainer.param_count(state))
+  try:
+    batch = next(data_iterator)
+    state = trainer.init(batch)
+    logger.info('Trainer initialized: %d params.', trainer.param_count(state))
 
-  restore_dir = restore_dir or save_dir
-  if restore_dir and os.path.isdir(restore_dir):
-    state = trainer.restore(state, restore_dir)
-    if int(jax.device_get(state.step)) > 0:
-      logger.info('Restored at step %d.', int(state.step))
+    restore_dir = restore_dir or save_dir
+    if restore_dir and os.path.isdir(restore_dir):
+      state = trainer.restore(state, restore_dir)
+      if int(jax.device_get(state.step)) > 0:
+        logger.info('Restored at step %d.', int(state.step))
 
-  writer = MetricsWriter(save_dir) if save_dir else None
+    writer = MetricsWriter(save_dir) if save_dir else None
 
-  # On-device loss accumulation between summaries: no host syncs inside
-  # the hot loop.
-  pending_losses: List[Dict[str, Any]] = []
-  last_summary_time = time.time()
-  last_summary_step = step = int(jax.device_get(state.step))
-  profiling = False
+    # On-device loss accumulation between summaries: no host syncs inside
+    # the hot loop.
+    pending_losses: List[Dict[str, Any]] = []
+    last_summary_time = time.time()
+    last_summary_step = step = int(jax.device_get(state.step))
+    profiling = False
 
-  while step < num_steps:
-    if profile_dir and step == profile_start and not profiling:
-      jax.profiler.start_trace(profile_dir)
-      profiling = True
+    while step < num_steps:
+      if profile_dir and step == profile_start and not profiling:
+        jax.profiler.start_trace(profile_dir)
+        profiling = True
 
-    state, losses = trainer.train_step(state, batch)
-    step += 1
-    if step < num_steps:
-      # Don't pull past the end: a finite iterator with exactly enough
-      # batches would raise StopIteration here and skip the final save.
-      try:
-        batch = next(data_iterator)
-      except StopIteration:
-        logger.info('Data iterator exhausted at step %d.', step)
-        pending_losses.append(losses)
-        break
-    pending_losses.append(losses)
+      state, losses = trainer.train_step(state, batch)
+      step += 1
+      if step < num_steps:
+        # Don't pull past the end: a finite iterator with exactly enough
+        # batches would raise StopIteration here and skip the final save.
+        try:
+          batch = next(data_iterator)
+        except StopIteration:
+          logger.info('Data iterator exhausted at step %d.', step)
+          pending_losses.append(losses)
+          break
+      pending_losses.append(losses)
 
-    if profiling and step >= profile_start + profile_steps:
-      jax.block_until_ready(losses)
+      if profiling and step >= profile_start + profile_steps:
+        jax.block_until_ready(losses)
+        jax.profiler.stop_trace()
+        profiling = False
+        logger.info('Wrote profiler trace to %s', profile_dir)
+
+      if log_every_step:
+        host_losses = {k: float(v)
+                       for k, v in jax.device_get(losses).items()}
+        logger.info('step: %d\t%s', step, '\t'.join(
+            f'{k}: {v:.2f}' for k, v in host_losses.items()))
+
+      if step % steps_per_summary == 0 and pending_losses:
+        # One batched transfer for the whole interval (a per-scalar
+        # device_get would pay a blocking host round-trip per step).
+        host = jax.device_get(pending_losses)
+        mean_losses = {
+            k: float(np.mean([h[k] for h in host])) for k in host[0]}
+        elapsed = time.time() - last_summary_time
+        steps_per_sec = (step - last_summary_step) / max(elapsed, 1e-9)
+        logger.info('step: %d\tsteps/s: %.2f\t%s', step, steps_per_sec,
+                    '\t'.join(f'{k}: {v:.2f}'
+                              for k, v in mean_losses.items()))
+        if writer:
+          writer.scalars(step, dict(mean_losses,
+                                    steps_per_sec=steps_per_sec))
+        mean_total = float(mean_losses.get('total_loss', np.inf))
+        pending_losses = []
+        last_summary_time = time.time()
+        last_summary_step = step
+
+        # Reference semantics (train_util.py:313-318): stop on the interval
+        # MEAN of the total loss, not a single noisy step.
+        if (early_stop_loss_value is not None
+            and mean_total <= early_stop_loss_value):
+          logger.info('Total loss reached early stop value %s at step %d.',
+                      early_stop_loss_value, step)
+          break
+
+      if save_dir and step % steps_per_save == 0:
+        save_time = trainer.save(state, save_dir)
+        logger.info('Saved checkpoint at step %d (%.2fs).', step, save_time)
+
+    if profiling:
       jax.profiler.stop_trace()
-      profiling = False
-      logger.info('Wrote profiler trace to %s', profile_dir)
 
-    if log_every_step:
-      host_losses = {k: float(v)
-                     for k, v in jax.device_get(losses).items()}
-      logger.info('step: %d\t%s', step, '\t'.join(
-          f'{k}: {v:.2f}' for k, v in host_losses.items()))
-
-    if step % steps_per_summary == 0 and pending_losses:
-      # One batched transfer for the whole interval (a per-scalar
-      # device_get would pay a blocking host round-trip per step).
-      host = jax.device_get(pending_losses)
-      mean_losses = {
-          k: float(np.mean([h[k] for h in host])) for k in host[0]}
-      elapsed = time.time() - last_summary_time
-      steps_per_sec = (step - last_summary_step) / max(elapsed, 1e-9)
-      logger.info('step: %d\tsteps/s: %.2f\t%s', step, steps_per_sec,
-                  '\t'.join(f'{k}: {v:.2f}'
-                            for k, v in mean_losses.items()))
+    if save_dir:
+      trainer.save(state, save_dir)
       if writer:
-        writer.scalars(step, dict(mean_losses,
-                                  steps_per_sec=steps_per_sec))
-      mean_total = float(mean_losses.get('total_loss', np.inf))
-      pending_losses = []
-      last_summary_time = time.time()
-      last_summary_step = step
-
-      # Reference semantics (train_util.py:313-318): stop on the interval
-      # MEAN of the total loss, not a single noisy step.
-      if (early_stop_loss_value is not None
-          and mean_total <= early_stop_loss_value):
-        logger.info('Total loss reached early stop value %s at step %d.',
-                    early_stop_loss_value, step)
-        break
-
-    if save_dir and step % steps_per_save == 0:
-      save_time = trainer.save(state, save_dir)
-      logger.info('Saved checkpoint at step %d (%.2fs).', step, save_time)
-
-  if prefetch:
-    # Stop the producer thread and release its queued device batches
-    # (covers early-stop exits; abandoned generators would otherwise hold
-    # prefetch-depth batches in device memory until GC).
-    data_iterator.close()
-
-  if profiling:
-    jax.profiler.stop_trace()
-
-  if save_dir:
-    trainer.save(state, save_dir)
-    if writer:
-      writer.close()
-  logger.info('Training finished at step %d.', step)
-  return state
+        writer.close()
+    logger.info('Training finished at step %d.', step)
+    return state
+  finally:
+    if prefetch:
+      # Stop the producer thread and release its queued device
+      # batches - on EVERY exit (normal, early-stop, exception).
+      data_iterator.close()

@@ -91,7 +91,10 @@ def model_from_spec(save_dir: str, **overrides):
   if not takes_var_kw:
     dropped = sorted(set(kwargs) - set(sig_params))
     if dropped:
-      logging.info('model_from_spec: preset %r does not accept %s; '
-                   'dropping those overrides.', spec['preset'], dropped)
+      # warning on the project logger: root logging.info is invisible at
+      # default config and a typo'd override would vanish silently.
+      logging.getLogger('ddsp_tpu').warning(
+          'model_from_spec: preset %r does not accept %s; dropping those '
+          'overrides.', spec['preset'], dropped)
       kwargs = {k: v for k, v in kwargs.items() if k in sig_params}
   return build_model(spec['preset'], **kwargs)

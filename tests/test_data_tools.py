@@ -218,14 +218,22 @@ class TestMultiProviders:
     batches = list(zp.get_batch(2, shuffle=False, repeats=1))
     assert len(batches) == 2
 
-  def test_mixed_epoch_is_finite_and_covers_all(self):
-    """One Mixed epoch yields every example from every provider, then
-    stops; the base get_batch repeats then work."""
+  def test_mixed_epoch_is_finite_and_ratio_weighted(self):
+    """One Mixed epoch samples by ratio and STOPS when a provider
+    exhausts (tf.data stop_on_empty semantics): finite, so get_batch's
+    repeats works, and the realized mix tracks batch_size_ratios."""
     mp = data_lib.MixedProvider(self._providers(), seed=0)
     epoch = list(mp.get_dataset(shuffle=False))
-    assert len(epoch) == 8  # 4 + 4, all providers exhausted
-    batches = list(mp.get_batch(4, shuffle=False, repeats=1))
-    assert len(batches) == 2
+    assert 4 <= len(epoch) <= 8  # ends at the first exhausted provider
+    batches = list(mp.get_batch(2, shuffle=False, repeats=1))
+    assert 2 <= len(batches) <= 4
+
+    # A zero ratio must never be sampled (and never crash): the epoch is
+    # exactly provider 0's examples.
+    mp0 = data_lib.MixedProvider(self._providers(),
+                                 batch_size_ratios=(1.0, 0.0), seed=0)
+    epoch0 = list(mp0.get_dataset(shuffle=False))
+    assert len(epoch0) == 4
 
 
 class TestPrepareRecords:
