@@ -90,6 +90,7 @@ class F0LdEvaluator(BaseEvaluator):
     # CREPE fallback for models that don't expose f0 (needs weights for
     # meaningful numbers; see ops.crepe).
     self._run_f0_crepe = run_f0_crepe
+    self._warned_no_f0 = False
     if run_f0_crepe:
       self._f0_crepe_metrics = metrics_lib.F0CrepeMetrics(
           sample_rate, frame_rate)
@@ -106,6 +107,18 @@ class F0LdEvaluator(BaseEvaluator):
       self._f0_metrics.update_state(batch, np.asarray(f0_synth))
     elif self._run_f0_crepe:
       self._f0_crepe_metrics.update_state(batch, audio_gen)
+    elif not self._warned_no_f0:
+      # Without CREPE or a synth-exposed f0 the evaluator silently
+      # narrows to loudness only - say so once, loudly, so a missing
+      # pitch column in eval results is not mistaken for "perfect".
+      self._warned_no_f0 = True
+      logger.warning(
+          'F0LdEvaluator: model outputs expose no f0 control and '
+          'run_f0_crepe=False - skipping all pitch metrics '
+          '(f0_dist, raw_pitch_accuracy, raw_chroma_accuracy); only '
+          'loudness will be reported. Pass run_f0_crepe=True and point '
+          '$CREPE_WEIGHTS_DIR at pretrained CREPE weights to measure '
+          'pitch fidelity of the generated audio.')
 
   def flush(self, step):
     results = {}

@@ -237,16 +237,24 @@ class VSTExtractFeatures:
 class VSTPredictControls(_VSTBase):
   """Frame controls: (f0_scaled, pw_scaled) -> (amps, hd, noise).
 
-  Stateful RNN state is hidden inside the decoder in the reference's
-  non-stateless variant; in JAX all state must be explicit, so this module
-  runs the decoder over a single frame with a zero initial state each call.
-  Prefer VSTStatelessPredictControls for real streaming.
+  Stateful variant: matches the reference's VSTPredictControls
+  (inference.py:249-299), whose Keras GRU carries hidden state across
+  calls. JAX has no hidden layer state, so the wrapper holds the GRU
+  state between calls and threads it through an explicitly-stateless
+  decoder; `reset()` plays the role of Keras `reset_states()`. Prefer
+  VSTStatelessPredictControls when the host (e.g. a VST plugin) wants to
+  own the state buffer itself.
   """
 
   def __init__(self, save_dir: str):
-    super().__init__(save_dir, overrides={'stateless': False},
-                     restore_keys=['decoder'])
-    self._build_call(stateless=False)
+    super().__init__(save_dir, overrides={'stateless': True},
+                     restore_keys=['decoder'], stateless=True)
+    self._build_call(stateless=True)
+    self._state = np.zeros((self.state_size,), np.float32)
+
+  def reset(self):
+    """Zero the carried GRU state (reference Keras reset_states())."""
+    self._state = np.zeros((self.state_size,), np.float32)
 
   def _decoder_controls(self, params, inputs):
     """Run decoder then the synth control nonlinearities."""
@@ -285,8 +293,14 @@ class VSTPredictControls(_VSTBase):
     self._call = jax.jit(call)
 
   def __call__(self, f0_scaled, pw_scaled):
-    """(f0_scaled [1], pw_scaled [1]) -> (amps [1], hd [K], noise [N])."""
-    return self._call(jnp.asarray(f0_scaled), jnp.asarray(pw_scaled))
+    """(f0_scaled [1], pw_scaled [1]) -> (amps [1], hd [K], noise [N]).
+
+    The GRU state is carried inside the wrapper across calls.
+    """
+    amps, hd, noise, state = self._call(
+        jnp.asarray(f0_scaled), jnp.asarray(pw_scaled), self._state)
+    self._state = state
+    return amps, hd, noise
 
 
 class VSTStatelessPredictControls(VSTPredictControls):

@@ -202,6 +202,45 @@ class TestVSTStreaming:
     # State evolves across calls (real recurrence).
     assert not np.allclose(states[0], states[-1])
 
+  def test_stateful_predict_controls_carries_state(self, vst_ckpt_dir):
+    """The stateful variant == stateless variant with a threaded state.
+
+    Reference VSTPredictControls holds Keras GRU state across calls
+    (inference.py:249-299); here the wrapper carries it. reset() must
+    reproduce the from-scratch sequence.
+    """
+    stateful = infer.VSTPredictControls(vst_ckpt_dir)
+    stateless = infer.VSTStatelessPredictControls(vst_ckpt_dir)
+
+    def run_stateful(n):
+      outs = []
+      for i in range(n):
+        f0 = jnp.asarray([0.5 + 0.01 * i])
+        pw = jnp.asarray([0.6])
+        outs.append([np.asarray(t) for t in stateful(f0, pw)])
+      return outs
+
+    outs1 = run_stateful(3)
+
+    # Same sequence through the stateless API.
+    state = stateless.initial_state()
+    for i in range(3):
+      f0 = jnp.asarray([0.5 + 0.01 * i])
+      pw = jnp.asarray([0.6])
+      amps, hd, noise, state = stateless(f0, pw, state)
+      for got, want in zip(outs1[i], (amps, hd, noise)):
+        np.testing.assert_allclose(got, np.asarray(want), atol=1e-6)
+
+    # Second repetition WITHOUT reset differs (state carried over) ...
+    outs2 = run_stateful(3)
+    assert not np.allclose(outs1[0][1], outs2[0][1], atol=1e-7)
+    # ... and WITH reset reproduces the original sequence exactly.
+    stateful.reset()
+    outs3 = run_stateful(3)
+    for a, b in zip(outs1, outs3):
+      for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
   def test_phase_carry_continuity(self, vst_ckpt_dir):
     """Streaming two hops with carry == synthesizing one long segment."""
     synth = infer.VSTSynthesize(vst_ckpt_dir)
