@@ -24,7 +24,7 @@ import numpy as np
 from ddsp_tpu import utils
 from ddsp_tpu.nn.preprocessing import inv_scale_f0_hz
 from ddsp_tpu.ops import oscillator
-from ddsp_tpu.proc.synths import FilteredNoise
+from ddsp_tpu.ops.fftconv import frequency_filter
 
 Array = jax.Array
 
@@ -342,9 +342,12 @@ class VSTSynthesize:
     self.n_noise = kwargs.get('n_noise_magnitudes', 65)
     self.resample_method = 'linear'
 
-    filtered_noise = FilteredNoise(n_samples=self.hop_size, window_size=0,
-                                   scale_fn=None)
-    noise_key = jax.random.PRNGKey(noise_seed)
+    # The per-hop noise key is fixed, so FilteredNoise's uniform draw is a
+    # constant; precompute it eagerly. This also keeps threefry PRNG ops
+    # out of exported graphs (TFLite cannot legalize them).
+    noise_signal = np.asarray(jax.random.uniform(
+        jax.random.PRNGKey(noise_seed), (1, self.hop_size),
+        minval=-1.0, maxval=1.0))
 
     def call(amps, prev_amps, hd, prev_hd, f0, prev_f0, noise, prev_phase):
       # Two frames for interpolation across the hop.
@@ -364,12 +367,10 @@ class VSTSynthesize:
 
       if self.include_noise:
         # Incoming magnitudes were already nonlinearized by
-        # VSTPredictControls (get_controls); call get_signal directly as
-        # the reference does (inference.py:473).
+        # VSTPredictControls (get_controls); filter the fixed noise
+        # buffer directly as the reference does (inference.py:473).
         noise2 = jnp.stack([noise, noise])[jnp.newaxis]        # [1, 2, N]
-        noise_audio = filtered_noise.apply(
-            {}, noise2, method=filtered_noise.get_signal,
-            rngs={'noise': noise_key})
+        noise_audio = frequency_filter(noise_signal, noise2, window_size=0)
         audio = audio + noise_audio if self.include_harmonic else noise_audio
       return audio[0], final_phase[0, 0]
 

@@ -301,6 +301,32 @@ def matmul_weighted_power(frames: Array, fft_size: int,
   return jnp.sum(_einsum('...s,st->...t', frames, q) * frames, axis=-1)
 
 
+_FORCE_MATMUL_DFT = False
+
+
+class force_matmul_dft:  # pylint: disable=invalid-name
+  """Context: take the GEMM-DFT paths regardless of backend.
+
+  Used by the TFLite exporter - TFLite cannot legalize stablehlo.fft, but
+  the direct-DFT GEMMs convert to plain fully-connected ops.
+  """
+
+  def __init__(self, enabled: bool = True):
+    self._enabled = enabled
+    self._prev = None
+
+  def __enter__(self):
+    global _FORCE_MATMUL_DFT
+    self._prev = _FORCE_MATMUL_DFT
+    _FORCE_MATMUL_DFT = self._enabled
+    return self
+
+  def __exit__(self, *exc):
+    global _FORCE_MATMUL_DFT
+    _FORCE_MATMUL_DFT = self._prev
+    return False
+
+
 def use_matmul_small_fft(fft_size: int) -> bool:
   """Direct-GEMM (i)rfft pays off for small batched transforms on TPU.
 
@@ -309,7 +335,7 @@ def use_matmul_small_fft(fft_size: int) -> bool:
   [N, N/2+1] DFT matrices are at most a few MB.
   """
   return (fft_size <= 4096 and (fft_size & (fft_size - 1)) == 0 and
-          jax.default_backend() == 'tpu')
+          (_FORCE_MATMUL_DFT or jax.default_backend() == 'tpu'))
 
 
 def use_matmul_stft(fft_size: int) -> bool:

@@ -158,6 +158,94 @@ class TestAutoencoderInference:
       assert w.getnframes() == 500
 
 
+class TestTFExport:
+  """SavedModel / TFLite export parity (reference ddsp_export.py)."""
+
+  @pytest.fixture(scope='class')
+  def ae_ckpt_dir(self, tmp_path_factory):
+    save_dir = str(tmp_path_factory.mktemp('ae_tf_run'))
+    kw = dict(n_samples=4000, time_steps=50, n_harmonics=8,
+              n_noise_magnitudes=5, reverb_length=1000,
+              rnn_channels=16, ch=16, layers_per_stack=1)
+    model = utils.build_model('solo_instrument', **kw)
+    utils.save_spec(save_dir, 'solo_instrument', **kw)
+    provider = SyntheticSinusoidProvider(n_samples=4000, sample_rate=SR,
+                                         frame_rate=250, n_examples=2)
+    batch = next(provider.get_batch(2, shuffle=False))
+    trainer = Trainer(model, mesh=create_mesh(n_data=1,
+                                              devices=jax.devices()[:1]))
+    state = trainer.init(batch)
+    trainer.save(state, save_dir)
+    return save_dir
+
+  def test_savedmodel_autoencoder_parity(self, ae_ckpt_dir, tmp_path):
+    tf = pytest.importorskip('tensorflow')
+    sm = infer.export_model(ae_ckpt_dir, str(tmp_path / 'sm'),
+                            fmt='savedmodel', length_seconds=0.25)
+    assert os.path.exists(os.path.join(sm, 'saved_model.pb'))
+    # Mutated spec written next to the artifact.
+    assert os.path.exists(os.path.join(str(tmp_path / 'sm'),
+                                       'operative_spec.json'))
+
+    inference = infer.AutoencoderInference(ae_ckpt_dir, length_seconds=0.25)
+    n = inference.n_frames
+    f0 = np.full((1, n, 1), 220.0, np.float32)
+    ld = np.full((1, n, 1), -30.0, np.float32)
+    want = np.asarray(inference._call(  # pylint: disable=protected-access
+        inference.params, {'f0_hz': f0, 'loudness_db': ld})['audio_synth'])
+
+    loaded = tf.saved_model.load(sm)
+    out = loaded.signatures['serving_default'](
+        f0_hz=tf.constant(f0), loudness_db=tf.constant(ld))
+    got = list(out.values())[0].numpy()
+    assert got.shape == want.shape == (1, inference.n_samples)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+  def test_savedmodel_vst_predict_controls_parity(self, vst_ckpt_dir,
+                                                  tmp_path):
+    tf = pytest.importorskip('tensorflow')
+    sm = infer.export_model(vst_ckpt_dir, str(tmp_path / 'sm'),
+                            fmt='savedmodel',
+                            inference_model='vst_stateless_predict_controls')
+    predict = infer.VSTStatelessPredictControls(vst_ckpt_dir)
+    f0 = np.asarray([0.5], np.float32)
+    pw = np.asarray([0.6], np.float32)
+    state = np.asarray(predict.initial_state())
+    want = [np.asarray(t) for t in predict(f0, pw, state)]
+
+    loaded = tf.saved_model.load(sm)
+    out = loaded.signatures['serving_default'](
+        f0_scaled=tf.constant(f0), pw_scaled=tf.constant(pw),
+        state=tf.constant(state))
+    got = [out[f'output_{i}'].numpy() for i in range(4)]
+    for g, w in zip(got, want):
+      np.testing.assert_allclose(g, w, atol=1e-5)
+
+  def test_tflite_synthesize_noise(self, vst_ckpt_dir, tmp_path):
+    tf = pytest.importorskip('tensorflow')
+    path = infer.export_model(vst_ckpt_dir, str(tmp_path / 'lite'),
+                              fmt='tflite',
+                              inference_model='vst_synthesize_noise')
+    assert os.path.getsize(path) > 100
+    # Run the converted model when the flex delegate is available.
+    try:
+      interp = tf.lite.Interpreter(model_path=path)
+      interp.allocate_tensors()
+    except Exception:  # pylint: disable=broad-except
+      return  # conversion itself is the contract; flex runtime optional
+    inp = interp.get_input_details()[0]
+    interp.set_tensor(inp['index'], np.full((5,), 0.1, np.float32))
+    interp.invoke()
+    audio = interp.get_tensor(interp.get_output_details()[0]['index'])
+    synth = infer.VSTSynthesizeNoise(vst_ckpt_dir)
+    want = np.asarray(synth(jnp.full((5,), 0.1)))
+    np.testing.assert_allclose(audio, want, atol=1e-5)
+
+  def test_tfjs_raises(self, vst_ckpt_dir, tmp_path):
+    with pytest.raises(NotImplementedError):
+      infer.export_model(vst_ckpt_dir, str(tmp_path / 'x'), fmt='tfjs')
+
+
 class TestVSTStreaming:
 
   def test_extract_features(self, vst_ckpt_dir):
