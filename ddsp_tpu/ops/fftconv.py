@@ -227,13 +227,36 @@ def fft_convolve(audio: Array,
   if impulse_response.ndim == 2:
     impulse_response = impulse_response[:, jnp.newaxis, :]
 
-  if impulse_response.shape[0] == 1 and batch_size > 1:
-    impulse_response = jnp.tile(impulse_response, (batch_size, 1, 1))
-
   batch_size_ir, n_ir_frames, ir_size = impulse_response.shape
-  if batch_size != batch_size_ir:
+  if batch_size_ir not in (1, batch_size):
     raise ValueError(f'Batch size of audio ({batch_size}) and impulse '
                      f'response ({batch_size_ir}) must be the same.')
+
+  from ddsp_tpu.ops import fft_matmul  # pylint: disable=g-import-not-at-top
+  if padding not in ('valid', 'same'):
+    raise ValueError(f"Padding must be 'valid' or 'same', instead of "
+                     f'{padding}.')
+  crop_start = ((ir_size - 1) // 2 - 1 if delay_compensation < 0
+                else delay_compensation)
+  if fft_matmul.use_partitioned_fft(
+      get_fft_size(int(np.ceil(audio_size / n_ir_frames)), ir_size,
+                   power_of_2=True), n_ir_frames) and crop_start >= 0:
+    # Long time-invariant FIR (48k-tap reverb): uniform partitioned
+    # convolution with 2L-point block FFTs instead of one huge transform -
+    # identical linear convolution, ~3x fewer GEMM flops (fft_matmul.py).
+    # Runs before the batch tile so a shared (batch-1) IR is transformed
+    # once and broadcast in the frequency domain; the crop window is
+    # pushed into the kernel so fully-cropped output frames are never
+    # inverse-transformed.
+    crop_size = (ir_size + audio_size - 1 if padding == 'valid'
+                 else audio_size)
+    return fft_matmul.partitioned_convolve(audio,
+                                           impulse_response[:, 0, :],
+                                           out_start=crop_start,
+                                           out_len=crop_size)
+
+  if batch_size_ir == 1 and batch_size > 1:
+    impulse_response = jnp.tile(impulse_response, (batch_size, 1, 1))
 
   # Cut audio into non-overlapping frames, one per IR frame.
   frame_size = int(np.ceil(audio_size / n_ir_frames))

@@ -163,3 +163,87 @@ class TestFusedFrequencyFilter:
     g_fused = np.asarray(jax.grad(loss_fused)(mags))
     scale = np.abs(g_ref).max()
     np.testing.assert_allclose(g_fused / scale, g_ref / scale, atol=1e-5)
+
+
+class TestPartitionedConvolve:
+
+  @pytest.mark.parametrize('t,s,block', [(5000, 3000, 1024),
+                                         (8192, 4096, 2048),
+                                         (4000, 6000, 1024)])
+  def test_matches_scipy_linear_convolution(self, t, s, block):
+    import scipy.signal
+    audio = RNG.randn(2, t).astype(np.float32)
+    ir = RNG.randn(2, s).astype(np.float32)
+    out = np.asarray(fm.partitioned_convolve(
+        jnp.asarray(audio), jnp.asarray(ir), block_size=block))
+    conv_len = t + s - 1
+    assert out.shape[-1] >= conv_len
+    ref = np.stack([scipy.signal.fftconvolve(audio[i], ir[i])
+                    for i in range(2)])
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out[:, :conv_len] / scale, ref / scale,
+                               atol=2e-5)
+    # Samples beyond the true convolution length are zero.
+    np.testing.assert_allclose(out[:, conv_len:] / scale,
+                               np.zeros_like(out[:, conv_len:]), atol=2e-5)
+
+  def test_shared_ir_broadcasts_over_batch(self):
+    import scipy.signal
+    audio = RNG.randn(3, 4000).astype(np.float32)
+    ir = RNG.randn(1, 2500).astype(np.float32)
+    out = np.asarray(fm.partitioned_convolve(
+        jnp.asarray(audio), jnp.asarray(ir), block_size=1024))
+    ref = np.stack([scipy.signal.fftconvolve(audio[i], ir[0])
+                    for i in range(3)])
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out[:, :ref.shape[-1]] / scale, ref / scale,
+                               atol=2e-5)
+
+  def test_fft_convolve_dispatch_equivalence(self, monkeypatch):
+    # Force the partitioned branch and pin it against the default path for
+    # both paddings, including the group-delay crop semantics.
+    from ddsp_tpu.ops import fftconv
+    audio = jnp.asarray(RNG.randn(2, 4000).astype(np.float32))
+    ir = jnp.asarray(RNG.randn(1, 3000).astype(np.float32))
+    for padding in ('same', 'valid'):
+      ref = np.asarray(fftconv.fft_convolve(audio, ir, padding=padding))
+      monkeypatch.setattr(fm, 'use_partitioned_fft', lambda *a: True)
+      monkeypatch.setattr(fm, '_PARTITION_BLOCK', 1024)
+      out = np.asarray(fftconv.fft_convolve(audio, ir, padding=padding))
+      monkeypatch.undo()
+      assert out.shape == ref.shape
+      scale = np.abs(ref).max()
+      np.testing.assert_allclose(out / scale, ref / scale, atol=2e-5)
+
+  def test_gradients_flow_through_ir(self):
+    audio = jnp.asarray(RNG.randn(1, 2000).astype(np.float32))
+    ir0 = RNG.randn(1, 1500).astype(np.float32)
+    conv_len = 2000 + 1500 - 1
+
+    def loss_part(ir):
+      out = fm.partitioned_convolve(audio, ir, block_size=512)
+      return jnp.sum(jnp.abs(out[:, :conv_len]))
+
+    def loss_ref(ir):
+      full = jnp.fft.irfft(jnp.fft.rfft(audio, 4096)
+                           * jnp.fft.rfft(ir, 4096), 4096)
+      return jnp.sum(jnp.abs(full[:, :conv_len]))
+
+    g_part = np.asarray(jax.grad(loss_part)(jnp.asarray(ir0)))
+    g_ref = np.asarray(jax.grad(loss_ref)(jnp.asarray(ir0)))
+    scale = np.abs(g_ref).max()
+    np.testing.assert_allclose(g_part / scale, g_ref / scale, atol=2e-4)
+
+  def test_windowed_output_matches_full(self):
+    audio = jnp.asarray(RNG.randn(2, 4000).astype(np.float32))
+    ir = jnp.asarray(RNG.randn(1, 2500).astype(np.float32))
+    full = np.asarray(fm.partitioned_convolve(audio, ir, block_size=1024))
+    for start, length in [(0, 4000), (1200, 1000), (3000, 5000), (0, 9000)]:
+      win = np.asarray(fm.partitioned_convolve(
+          audio, ir, block_size=1024, out_start=start, out_len=length))
+      assert win.shape == (2, length)
+      avail = min(length, full.shape[-1] - start)
+      np.testing.assert_allclose(win[:, :avail], full[:, start:start + avail],
+                                 atol=1e-6)
+      # Window past the computed convolution is zero-padded.
+      np.testing.assert_array_equal(win[:, avail:], 0.0)
