@@ -377,20 +377,120 @@ def local_stft_mag(audio_local: Array,
   return mags.astype(jnp.float32), mask
 
 
+def _prepend_left_neighbor_frame(mags: Array, mask: Array,
+                                 axis_name: str,
+                                 halo_impl: str = 'xla') -> Array:
+  """[batch, n_slots, bins] of each slot's *previous* global frame.
+
+  Valid slots are a prefix of the slot axis and frames partition
+  consecutively across shards, so slot j's predecessor is slot j - 1
+  locally, and slot 0's predecessor is the left neighbor's last valid
+  frame - one [batch, 1, bins] ring exchange. Shard 0 receives zeros
+  (masked out by the caller's global-index check).
+  """
+  n_valid = jnp.maximum(jnp.sum(mask).astype(jnp.int32), 1)
+  last = jax.lax.dynamic_slice_in_dim(mags, n_valid - 1, 1, axis=1)
+  received = neighbor_shift(last, +1, axis_name, impl=halo_impl)
+  return jnp.concatenate([received, mags[:, :-1]], axis=1)
+
+
+def local_loudness(audio_local: Array,
+                   sample_rate: int = 16000,
+                   frame_rate: int = 250,
+                   n_fft: int = 2048,
+                   range_db: float = None,
+                   ref_db: float = 0.0,
+                   axis_name: str = TIME_AXIS,
+                   halo_impl: str = 'xla'):
+  """Per-frame A-weighted loudness of a time-sharded signal.
+
+  Matches ops.spectral.compute_loudness(audio, sample_rate, frame_rate,
+  n_fft, padding='center') on the gathered signal. 'center' padding means
+  global frame k starts at k * hop - n_fft // 2; frames are owned by the
+  shard containing that start (shard 0 also owns the negative-start
+  frames, reading its local zero pad), and each shard fetches an n_fft
+  right halo from its neighbor.
+
+  Returns:
+    (loudness, mask): [batch, n_slots] local loudness frames in dB and
+    [n_slots] float validity mask.
+  """
+  from ddsp_tpu.ops import spectral  # pylint: disable=g-import-not-at-top
+  from ddsp_tpu.ops.core import DB_RANGE  # pylint: disable=g-import-not-at-top
+  if range_db is None:
+    range_db = DB_RANGE
+
+  n_shards = jax.lax.axis_size(axis_name)
+  my_idx = jax.lax.axis_index(axis_name)
+  batch, t_local = audio_local.shape
+  frame_size = n_fft
+  hop = sample_rate // frame_rate
+  pad_left = frame_size // 2
+  if t_local < frame_size:
+    raise ValueError(f'Shard length ({t_local}) must be >= n_fft '
+                     f'({frame_size}) for the single-neighbor halo '
+                     'exchange in the loudness term.')
+  t_global = t_local * n_shards
+  total_frames = t_global // hop + 1  # 'center' padding frame count.
+
+  right = neighbor_shift(audio_local[:, :frame_size], -1, axis_name,
+                         impl=halo_impl)
+  ext = jnp.concatenate(
+      [jnp.zeros((batch, pad_left), audio_local.dtype), audio_local, right],
+      axis=1)
+
+  # first_k(i) = 0 for shard 0, else ceil((i * t_local + pad_left) / hop);
+  # consecutive shards' ranges partition the global frame sequence.
+  shard_start = my_idx * t_local
+  first_k = jnp.where(my_idx == 0, 0,
+                      -(-(shard_start + pad_left) // hop))
+  next_first = jnp.where(
+      my_idx == n_shards - 1, total_frames,
+      jnp.minimum(-(-(shard_start + t_local + pad_left) // hop),
+                  total_frames))
+  n_slots = (t_local + pad_left) // hop + 2
+
+  ks = first_k + jnp.arange(n_slots)
+  valid = ks < next_first
+  # ext index of frame k's start: k * hop - shard_start (>= 0 for owned
+  # frames; shard 0's negative-start frames land in its zero pad).
+  starts = jnp.where(valid, ks * hop - shard_start, 0)
+  idx = starts[:, jnp.newaxis] + jnp.arange(frame_size)[jnp.newaxis, :]
+  frames = ext[:, idx] * fftconv_ops.hann_window(frame_size)
+
+  fft_size = int(2**np.ceil(np.log2(frame_size)))
+  freqs = tuple(spectral.fft_frequencies(sample_rate, fft_size).tolist())
+  weighting = 10**(np.asarray(spectral.a_weighting_np(freqs)) / 10)
+  n_bins = fft_size // 2 + 1
+  power = jnp.abs(jnp.fft.rfft(frames, fft_size))**2
+  avg_power = jnp.sum(power * jnp.asarray(weighting, jnp.float32),
+                      axis=-1) / n_bins
+  loudness = spectral.power_to_db(avg_power, ref_db=ref_db,
+                                  range_db=range_db)
+  return loudness.astype(jnp.float32), valid.astype(jnp.float32)
+
+
 def local_spectral_loss(target_local: Array,
                         audio_local: Array,
                         fft_sizes=(2048, 1024, 512, 256, 128, 64),
                         mag_weight: float = 1.0,
+                        delta_time_weight: float = 0.0,
+                        delta_freq_weight: float = 0.0,
+                        cumsum_freq_weight: float = 0.0,
                         logmag_weight: float = 0.0,
+                        loudness_weight: float = 0.0,
                         axis_name: str = TIME_AXIS,
                         batch_axis_name: Optional[str] = None,
                         halo_impl: str = 'xla') -> Array:
-  """Multi-scale spectral loss over time-sharded signals.
+  """Multi-scale spectral loss over time-sharded signals - all 6 terms.
 
-  Equals losses.SpectralLoss(fft_sizes, mag_weight, logmag_weight) on the
-  gathered signals: per-size local masked sums are psum'd and divided by
-  the global element count. Differentiable (the halo ppermute transposes to
-  a reverse-permute accumulate).
+  Equals losses.SpectralLoss(...) on the gathered signals: per-size local
+  masked sums are psum'd and divided by the global element count. The
+  frequency-axis terms (delta_freq, cumsum_freq) are frame-local; the
+  delta_time term exchanges one boundary frame per shard; the loudness
+  term runs its own 'center'-padded framing with an n_fft halo.
+  Differentiable (the halo ppermute transposes to a reverse-permute
+  accumulate).
 
   Args:
     batch_axis_name: Mesh axis the batch dim is sharded over, if any. The
@@ -404,6 +504,11 @@ def local_spectral_loss(target_local: Array,
               else (axis_name, batch_axis_name))
   n_batch_shards = (1 if batch_axis_name is None
                     else jax.lax.axis_size(batch_axis_name))
+  my_idx = jax.lax.axis_index(axis_name)
+
+  def masked_mean(diff_abs, m, count):
+    return jax.lax.psum(jnp.sum(diff_abs * m), sum_axes) / count
+
   loss = 0.0
   for size in fft_sizes:
     target_mag, mask = local_stft_mag(target_local, size,
@@ -414,14 +519,48 @@ def local_spectral_loss(target_local: Array,
     m = mask[jnp.newaxis, :, jnp.newaxis]
     n_bins = target_mag.shape[-1]
     batch = target_mag.shape[0] * n_batch_shards
-    count = jax.lax.psum(jnp.sum(mask), axis_name) * batch * n_bins
+    n_frames = jax.lax.psum(jnp.sum(mask), axis_name)
+    count = n_frames * batch * n_bins
     if mag_weight > 0:
-      local_sum = jnp.sum(jnp.abs(target_mag - value_mag) * m)
-      loss += mag_weight * jax.lax.psum(local_sum, sum_axes) / count
+      loss += mag_weight * masked_mean(
+          jnp.abs(target_mag - value_mag), m, count)
+    if delta_time_weight > 0:
+      t_prev = _prepend_left_neighbor_frame(target_mag, mask, axis_name,
+                                            halo_impl)
+      v_prev = _prepend_left_neighbor_frame(value_mag, mask, axis_name,
+                                            halo_impl)
+      # Global frame 0 has no predecessor: mask shard 0's first slot.
+      first_global = (my_idx == 0) & (jnp.arange(mask.shape[0]) == 0)
+      dm = (mask * (1.0 - first_global.astype(jnp.float32)))[
+          jnp.newaxis, :, jnp.newaxis]
+      d_count = (n_frames - 1.0) * batch * n_bins
+      loss += delta_time_weight * masked_mean(
+          jnp.abs((target_mag - t_prev) - (value_mag - v_prev)), dm,
+          d_count)
+    if delta_freq_weight > 0:
+      td = jnp.diff(target_mag, axis=2)
+      vd = jnp.diff(value_mag, axis=2)
+      loss += delta_freq_weight * masked_mean(
+          jnp.abs(td - vd), m, n_frames * batch * (n_bins - 1))
+    if cumsum_freq_weight > 0:
+      tc = jnp.cumsum(target_mag, axis=2)
+      vc = jnp.cumsum(value_mag, axis=2)
+      loss += cumsum_freq_weight * masked_mean(jnp.abs(tc - vc), m, count)
     if logmag_weight > 0:
-      local_sum = jnp.sum(
-          jnp.abs(safe_log(target_mag) - safe_log(value_mag)) * m)
-      loss += logmag_weight * jax.lax.psum(local_sum, sum_axes) / count
+      loss += logmag_weight * masked_mean(
+          jnp.abs(safe_log(target_mag) - safe_log(value_mag)), m, count)
+
+  if loudness_weight > 0:
+    t_loud, l_mask = local_loudness(target_local, n_fft=2048,
+                                    axis_name=axis_name,
+                                    halo_impl=halo_impl)
+    v_loud, _ = local_loudness(audio_local, n_fft=2048,
+                               axis_name=axis_name, halo_impl=halo_impl)
+    lm = l_mask[jnp.newaxis, :]
+    batch = t_loud.shape[0] * n_batch_shards
+    l_count = jax.lax.psum(jnp.sum(l_mask), axis_name) * batch
+    loss += loudness_weight * masked_mean(jnp.abs(t_loud - v_loud), lm,
+                                          l_count)
   return loss
 
 
@@ -430,18 +569,26 @@ def time_sharded_spectral_loss(mesh: Mesh,
                                audio: Array,
                                fft_sizes=(2048, 1024, 512, 256, 128, 64),
                                mag_weight: float = 1.0,
+                               delta_time_weight: float = 0.0,
+                               delta_freq_weight: float = 0.0,
+                               cumsum_freq_weight: float = 0.0,
                                logmag_weight: float = 0.0,
+                               loudness_weight: float = 0.0,
                                halo_impl: str = 'xla') -> Array:
   """SpectralLoss with both signals sharded P(None, 'time') over the mesh.
 
   The building block for fully sequence-parallel training: synthesis,
   LTV filtering, and the training loss all stay time-sharded; only scalar
-  psums and tiny halos cross chips.
+  psums and tiny halos cross chips. Supports all six SpectralLoss terms.
   """
   b = _batch_axis(mesh, int(audio.shape[0]))
   fn = functools.partial(local_spectral_loss, fft_sizes=tuple(fft_sizes),
                          mag_weight=mag_weight,
+                         delta_time_weight=delta_time_weight,
+                         delta_freq_weight=delta_freq_weight,
+                         cumsum_freq_weight=cumsum_freq_weight,
                          logmag_weight=logmag_weight,
+                         loudness_weight=loudness_weight,
                          batch_axis_name=b,
                          halo_impl=halo_impl)
   # check_vma=False: as with time_sharded_fft_convolve, the vma type

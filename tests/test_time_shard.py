@@ -205,6 +205,49 @@ class TestTimeShardedSpectralLoss:
           mag_weight=1.0, logmag_weight=1.0))
       np.testing.assert_allclose(got, ref, rtol=2e-5)
 
+  def test_all_six_terms_match_single_device(self):
+    import jax.numpy as jnp
+    from ddsp_tpu import losses
+    from ddsp_tpu.parallel import time_shard
+    rng = np.random.RandomState(3)
+    target = rng.randn(2, 16384).astype(np.float32) * 0.1
+    audio = target * 0.7 + 0.02 * rng.randn(2, 16384).astype(np.float32)
+
+    sizes = (2048, 512, 64)
+    weights = dict(mag_weight=1.0, delta_time_weight=0.5,
+                   delta_freq_weight=0.4, cumsum_freq_weight=0.3,
+                   logmag_weight=1.0, loudness_weight=0.2)
+    ref = float(losses.SpectralLoss(fft_sizes=sizes, **weights)(
+        jnp.asarray(target), jnp.asarray(audio)))
+    for n_time in (2, 4, 8):
+      mesh = self._mesh(n_time)
+      got = float(time_shard.time_sharded_spectral_loss(
+          mesh, jnp.asarray(target), jnp.asarray(audio), fft_sizes=sizes,
+          **weights))
+      np.testing.assert_allclose(got, ref, rtol=2e-4)
+
+  def test_extra_terms_gradients_match(self):
+    import jax
+    import jax.numpy as jnp
+    from ddsp_tpu import losses
+    from ddsp_tpu.parallel import time_shard
+    rng = np.random.RandomState(4)
+    target = jnp.asarray(rng.randn(1, 8192).astype(np.float32) * 0.1)
+    audio = jnp.asarray(rng.randn(1, 8192).astype(np.float32) * 0.1)
+    sizes = (2048, 512)
+    weights = dict(mag_weight=0.0, delta_time_weight=1.0,
+                   delta_freq_weight=1.0, cumsum_freq_weight=1.0,
+                   loudness_weight=1.0)
+
+    g_ref = jax.grad(lambda a: losses.SpectralLoss(
+        fft_sizes=sizes, **weights)(target, a))(audio)
+    mesh = self._mesh(4)
+    g_sp = jax.grad(lambda a: time_shard.time_sharded_spectral_loss(
+        mesh, target, a, fft_sizes=sizes, **weights))(audio)
+    scale = float(jnp.abs(g_ref).max())
+    np.testing.assert_allclose(np.asarray(g_sp) / scale,
+                               np.asarray(g_ref) / scale, atol=1e-4)
+
   def test_gradients_match(self):
     import jax
     import jax.numpy as jnp
