@@ -13,3 +13,6 @@ from ddsp_tpu.parallel.time_shard import time_sharded_harmonic_synthesis  # noqa
 from ddsp_tpu.parallel.time_shard import time_sharded_spectral_loss  # noqa: F401,E402
 from ddsp_tpu.parallel.sp_train import make_sp_train_step  # noqa: F401,E402
 from ddsp_tpu.parallel.sp_train import sp_synth_and_loss  # noqa: F401,E402
+from ddsp_tpu.parallel import sp_model  # noqa: F401,E402
+from ddsp_tpu.parallel.sp_model import has_time_sharding  # noqa: F401,E402
+from ddsp_tpu.parallel.sp_model import sp_forward_with_losses  # noqa: F401,E402

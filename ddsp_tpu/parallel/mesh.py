@@ -58,15 +58,55 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
   return NamedSharding(mesh, P())
 
 
+def audio_sharding(mesh: Mesh) -> NamedSharding:
+  """Sharding for [batch, n_samples] audio: ('data', 'time')."""
+  return NamedSharding(mesh, P('data', 'time'))
+
+
 def shard_batch(batch, mesh: Mesh):
-  """Place a pytree of host arrays on the mesh, batch-dim sharded."""
-  sharding = batch_sharding(mesh)
-  return jax.tree_util.tree_map(
-      lambda x: jax.device_put(x, sharding), batch)
+  """Place a pytree of host arrays on the mesh, batch-dim sharded.
+
+  When the mesh time axis is non-trivial, audio-rate 2-D leaves (last dim
+  long and divisible by the time-axis size) are additionally sharded over
+  'time' so per-device memory stays O(n_samples / n_time). Frame-rate
+  features (loudness/f0, ~1k frames) stay below the length threshold and
+  shard over 'data' only. This is a placement heuristic - the shard_map
+  in_specs enforce layouts regardless; a 'wrong' guess only costs a
+  reshard copy.
+  """
+  data_s = batch_sharding(mesh)
+  n_time = dict(mesh.shape).get('time', 1)
+  audio_s = audio_sharding(mesh)
+
+  def spec_for(x):
+    is_audio_rate = (n_time > 1 and getattr(x, 'ndim', 0) == 2
+                     and x.shape[-1] >= 8192 and x.shape[-1] % n_time == 0)
+    return audio_s if is_audio_rate else data_s
+
+  if jax.process_count() > 1:
+    # Multi-host: each process feeds its LOCAL batch rows; the global
+    # array is assembled across hosts along the sharded batch dim (the
+    # reference's per-worker dataset sharding, trainers.py:145-150).
+    def put_global(x):
+      return jax.make_array_from_process_local_data(spec_for(x),
+                                                    np.asarray(x))
+    return jax.tree_util.tree_map(put_global, batch)
+
+  return jax.tree_util.tree_map(lambda x: jax.device_put(x, spec_for(x)),
+                                batch)
 
 
 def replicate(tree, mesh: Mesh):
-  """Place a pytree fully replicated on the mesh."""
+  """Place a pytree fully replicated on the mesh.
+
+  Multi-host: every process must hold the same host values (e.g. params
+  initialized from the same seed); they are stitched into one global
+  replicated array per leaf.
+  """
+  if jax.process_count() > 1:
+    from jax.experimental import multihost_utils  # pylint: disable=g-import-not-at-top
+    return multihost_utils.host_local_array_to_global_array(
+        jax.tree_util.tree_map(np.asarray, tree), mesh, P())
   sharding = replicated_sharding(mesh)
   return jax.tree_util.tree_map(
       lambda x: jax.device_put(x, sharding), tree)

@@ -123,6 +123,13 @@ def main(argv=None):
                            'environment)')
   parser.add_argument('--n_devices', type=int, default=0,
                       help='Limit device count (0 = all)')
+  parser.add_argument('--time_shards', type=int, default=1,
+                      help='Shard the audio time axis over this many '
+                           'devices (sequence parallelism); the mesh '
+                           'becomes (data=n_devices/time_shards, '
+                           'time=time_shards) and the train step routes '
+                           'synthesis/filtering/loss through the '
+                           'halo-exchanging shard_map kernels')
   args = parser.parse_args(argv)
 
   logging.basicConfig(
@@ -182,7 +189,11 @@ def main(argv=None):
   devices = jax.devices()
   if args.n_devices:
     devices = devices[:args.n_devices]
-  mesh = create_mesh(n_data=len(devices), devices=devices)
+  if len(devices) % args.time_shards:
+    raise SystemExit(f'--time_shards {args.time_shards} must divide the '
+                     f'device count ({len(devices)})')
+  mesh = create_mesh(n_data=len(devices) // args.time_shards,
+                     n_time=args.time_shards, devices=devices)
   trainer = Trainer(model, mesh=mesh, learning_rate=args.learning_rate)
 
   if args.mode == 'train':

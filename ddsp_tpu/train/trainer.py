@@ -100,13 +100,25 @@ class Trainer:
     model = self.model
     optimizer = self.optimizer
     base_key = jax.random.PRNGKey(self.seed + 2)
+    # Sequence-parallel step: when the mesh shards the 'time' axis, route
+    # the forward through the shard_map kernels (parallel/sp_model.py) so
+    # audio-rate intermediates stay sharded. Same losses contract, same
+    # optimizer/ckpt machinery.
+    from ddsp_tpu.parallel import sp_model  # pylint: disable=g-import-not-at-top
+    use_sp = sp_model.has_time_sharding(self.mesh)
+    mesh = self.mesh
 
     def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict]:
       rng = jax.random.fold_in(base_key, state.step)
 
       def loss_fn(params):
-        _, losses = model.apply({'params': params}, batch, training=True,
-                                return_losses=True, rngs={'noise': rng})
+        if use_sp:
+          _, losses = model.apply(
+              {'params': params}, batch, mesh=mesh, training=True,
+              method=sp_model.sp_forward_with_losses, rngs={'noise': rng})
+        else:
+          _, losses = model.apply({'params': params}, batch, training=True,
+                                  return_losses=True, rngs={'noise': rng})
         return losses['total_loss'], losses
 
       grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -120,9 +132,13 @@ class Trainer:
 
     batch_sharding = mesh_lib.batch_sharding(self.mesh)
     repl = mesh_lib.replicated_sharding(self.mesh)
+    # SP batches carry mixed per-leaf shardings (audio over ('data',
+    # 'time'), frame features over ('data',)) placed by shard_batch; leave
+    # them unspecified so jit inherits the committed placement instead of
+    # forcing everything to P('data').
     return jax.jit(
         step_fn,
-        in_shardings=(repl, batch_sharding),
+        in_shardings=(repl, None) if use_sp else (repl, batch_sharding),
         out_shardings=(repl, repl),
         donate_argnums=(0,))
 

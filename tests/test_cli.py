@@ -113,3 +113,22 @@ def test_eval_reconstructs_model_from_spec(tmp_path, monkeypatch):
       '--num_eval_batches', '1',
   ])
   assert os.path.exists(os.path.join(save_dir, 'metrics.jsonl'))
+
+
+@pytest.mark.slow
+def test_train_time_sharded(tmp_path):
+  """--time_shards trains the flagship preset on a (data, time) mesh."""
+  save_dir = str(tmp_path / 'sp_run')
+  r = _run(['--mode', 'train', '--num_steps', '2', '--steps_per_save', '2',
+            '--steps_per_summary', '2',
+            '--save_dir', save_dir, '--data', 'synthetic:4',
+            '--preset', 'tiny',
+            '--model_kwargs', json.dumps(dict(
+                n_samples=16384, time_steps=128, n_harmonics=8,
+                n_noise_magnitudes=9, reverb_length=3000)),
+            '--batch_size', '2', '--time_shards', '4', '--n_devices', '8'])
+  assert r.returncode == 0, r.stderr[-2000:]
+  assert os.path.exists(os.path.join(save_dir, 'metrics.jsonl'))
+  with open(os.path.join(save_dir, 'metrics.jsonl')) as f:
+    lines = [json.loads(l) for l in f if l.strip()]
+  assert lines and any('total_loss' in l for l in lines)
