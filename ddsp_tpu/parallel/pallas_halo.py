@@ -210,15 +210,23 @@ shift_left.defvjp(_shift_left_fwd, _shift_left_bwd)
 
 
 def neighbor_shift(x: Array, direction: int, axis_name: str = 'time',
-                   impl: str = 'xla') -> Array:
+                   impl: str = 'xla',
+                   collective_id: Optional[int] = None) -> Array:
   """Unified neighbor shift: +1 = toward higher shard ids, -1 = lower.
 
   impl='xla' uses `jax.lax.ppermute` (default; XLA schedules the
   collective); impl='pallas' uses the in-kernel RDMA shift above. Both have
   non-wrapping zero-fill semantics and correct adjoints.
+
+  collective_id (pallas impl only): explicit Mosaic barrier-semaphore id.
+  Required for multihost safety when hosts may trace programs in
+  different orders - the default round-robin allocator is process-local
+  (see module docstring); pass a stable id so every host compiles the
+  same barrier wiring.
   """
   if impl == 'pallas':
-    return (shift_right if direction > 0 else shift_left)(x, axis_name)
+    return (shift_right if direction > 0 else shift_left)(
+        x, axis_name, collective_id=collective_id)
   n = jax.lax.axis_size(axis_name)
   if direction > 0:
     perm = [(i, i + 1) for i in range(n - 1)]
