@@ -30,10 +30,12 @@ def ae(n_samples: int = 64000,
        rnn_channels: int = 512,
        ch: int = 512,
        layers_per_stack: int = 3,
-       compute_loudness_fresh: bool = True) -> Autoencoder:
+       compute_loudness_fresh: bool = True,
+       compute_dtype: str = 'bfloat16') -> Autoencoder:
   """NSynth-style autoencoder decoding from (loudness, f0, z).
 
-  Reference: gin/models/ae.gin.
+  Reference: gin/models/ae.gin. compute_dtype (default 'bfloat16') runs
+  the decoder and spectral-loss GEMMs on the MXU bf16 path.
   """
   return Autoencoder(
       preprocessor=nn.F0LoudnessPreprocessor(
@@ -48,6 +50,7 @@ def ae(n_samples: int = 64000,
           rnn_type='gru',
           ch=ch,
           layers_per_stack=layers_per_stack,
+          compute_dtype=compute_dtype,
           input_keys=('ld_scaled', 'f0_scaled', 'z'),
           output_splits=(('amps', 1),
                          ('harmonic_distribution', n_harmonics),
@@ -63,7 +66,8 @@ def ae(n_samples: int = 64000,
            ['filtered_noise/signal', 'harmonic/signal']),
       ]),
       losses=(losses_lib.SpectralLoss(loss_type='L1', mag_weight=1.0,
-                                      logmag_weight=1.0),))
+                                      logmag_weight=1.0,
+                                      compute_dtype=compute_dtype),))
 
 
 @register_preset('solo_instrument')
@@ -79,12 +83,14 @@ def solo_instrument(n_samples: int = 64000,
                     reverb: bool = True,
                     use_angular_cumsum: bool = False,
                     compute_loudness_fresh: bool = True,
-                    compute_dtype: str = 'float32') -> Autoencoder:
+                    compute_dtype: str = 'bfloat16') -> Autoencoder:
   """Decodes from (loudness, f0) with a trainable reverb.
 
   Reference: gin/models/solo_instrument.gin. Training data should all come
-  from the same acoustic environment. compute_dtype='bfloat16' runs the
-  decoder GEMMs on the MXU bf16 path (float32 params/accumulation).
+  from the same acoustic environment. compute_dtype (default 'bfloat16')
+  runs the decoder and spectral-loss GEMMs on the MXU bf16 path (float32
+  params/accumulation, ≤0.5% relative loss error); pass 'float32' for
+  bit-golden comparisons.
   """
   return Autoencoder(
       preprocessor=nn.F0LoudnessPreprocessor(

@@ -90,10 +90,13 @@ class SpectralLoss(Loss):
 
   fft_sizes: Sequence[int] = (2048, 1024, 512, 256, 128, 64)
   loss_type: str = 'L1'
-  # 'bfloat16' runs the DFT-GEMM magnitudes on the MXU bf16 path (float32
-  # accumulation): ~0.2% relative magnitude error, acceptable for a
-  # training loss. Leave float32 when loss values are compared to goldens.
-  compute_dtype: str = 'float32'
+  # The default 'bfloat16' runs the DFT-GEMM magnitudes on the MXU bf16
+  # path (float32 accumulation): ~0.2% relative magnitude error, measured
+  # ≤0.5% on the loss value (tests/test_losses_extended.py), and ~3x the
+  # GEMM throughput of the f32 path on v5e. Pass 'float32' as the escape
+  # hatch when loss values are compared to goldens. Only the TPU GEMM-DFT
+  # magnitude path is affected; the jnp.fft path (CPU) is always float32.
+  compute_dtype: str = 'bfloat16'
   mag_weight: float = 1.0
   delta_time_weight: float = 0.0
   delta_freq_weight: float = 0.0

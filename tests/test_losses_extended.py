@@ -276,3 +276,41 @@ class TestEmbeddingLossBase:
   def test_crepe_loss_inherits_base(self):
     assert issubclass(losses.PretrainedCREPEEmbeddingLoss,
                       losses.EmbeddingLoss)
+
+
+class TestSpectralLossBf16Default:
+  """The bf16-by-default GEMM loss stays within 0.5% of float32.
+
+  The bf16 path only engages on the TPU GEMM-DFT magnitudes; on CPU it is
+  exercised through force_matmul_dft. This is the escape-hatch golden the
+  default flip is conditioned on (spectral GEMMs default to 'bfloat16').
+  """
+
+  def test_default_is_bfloat16(self):
+    assert losses.SpectralLoss().compute_dtype == 'bfloat16'
+
+  def test_bf16_loss_within_half_percent_of_f32(self):
+    from ddsp_tpu.ops import fft_matmul
+    rng = np.random.RandomState(0)
+    target = jnp.asarray(rng.randn(2, 4096).astype(np.float32) * 0.3)
+    audio = jnp.asarray(rng.randn(2, 4096).astype(np.float32) * 0.3)
+    sizes = (1024, 512, 256, 128, 64)
+    kw = dict(fft_sizes=sizes, mag_weight=1.0, logmag_weight=1.0)
+    with fft_matmul.force_matmul_dft():
+      l16 = float(losses.SpectralLoss(compute_dtype='bfloat16', **kw)(
+          target, audio))
+      l32 = float(losses.SpectralLoss(compute_dtype='float32', **kw)(
+          target, audio))
+    assert abs(l16 - l32) / abs(l32) < 5e-3
+
+  def test_f32_escape_hatch_matches_fft_path(self):
+    from ddsp_tpu.ops import fft_matmul
+    rng = np.random.RandomState(1)
+    target = jnp.asarray(rng.randn(1, 2048).astype(np.float32))
+    audio = jnp.asarray(rng.randn(1, 2048).astype(np.float32))
+    kw = dict(fft_sizes=(512, 128), mag_weight=1.0, logmag_weight=1.0,
+              compute_dtype='float32')
+    ref = float(losses.SpectralLoss(**kw)(target, audio))
+    with fft_matmul.force_matmul_dft():
+      gemm = float(losses.SpectralLoss(**kw)(target, audio))
+    np.testing.assert_allclose(gemm, ref, rtol=2e-4)
