@@ -104,10 +104,28 @@ def evaluate_or_sample(data_provider,
   # training=False (eval-mode network behavior); losses are still computed
   # because return_losses=True - a deliberate improvement over the
   # reference, whose eval losses are empty (autoencoder.py:67).
-  apply_fn = jax.jit(
-      lambda params, batch: model.apply(
-          {'params': params}, batch, training=False, return_losses=True,
-          rngs={'noise': jax.random.PRNGKey(0)}))
+  # When the trainer's mesh time-shards, route through the same
+  # sequence-parallel forward as training (sp_forward_with_losses): a
+  # model trained at audio lengths needing N chips' memory can then also
+  # be evaluated at that length (the dense forward would OOM one chip).
+  from ddsp_tpu.parallel import mesh as mesh_lib  # pylint: disable=g-import-not-at-top
+  from ddsp_tpu.parallel import sp_model  # pylint: disable=g-import-not-at-top
+  mesh = getattr(trainer, 'mesh', None)
+  use_sp = mesh is not None and sp_model.has_time_sharding(mesh)
+  if use_sp:
+    halo_impl = getattr(trainer, 'halo_impl', 'xla')
+    apply_fn = jax.jit(
+        lambda params, batch: model.apply(
+            {'params': params}, batch, mesh=mesh, training=False,
+            halo_impl=halo_impl,
+            method=sp_model.sp_forward_with_losses,
+            rngs={'noise': jax.random.PRNGKey(0)}))
+    eval_batches = [mesh_lib.shard_batch(b, mesh) for b in eval_batches]
+  else:
+    apply_fn = jax.jit(
+        lambda params, batch: model.apply(
+            {'params': params}, batch, training=False, return_losses=True,
+            rngs={'noise': jax.random.PRNGKey(0)}))
 
   for ckpt_step in checkpoints_iterator(restore_dir, ckpt_delay_secs,
                                         run_once=run_once):

@@ -68,8 +68,17 @@ def _einsum(spec, a, b):
   return jnp.einsum(spec, a, b, precision=_PRECISION)
 
 
-def _fft_core(xr: Array, xi: Array, n: int) -> Tuple[Array, Array]:
-  """Complex DFT of [..., n] via four-step matmuls; returns (re, im)."""
+def _fft_core(xr: Array, xi: Array, n: int,
+              n_nonzero: int = 0) -> Tuple[Array, Array]:
+  """Complex DFT of [..., n] via four-step matmuls; returns (re, im).
+
+  n_nonzero > 0 asserts that only x[..., :n_nonzero] may be nonzero
+  (zero-padded transforms): stage 1 then contracts only the
+  ceil(n_nonzero / n2) live rows of the [n1, n2] input view, skipping the
+  GEMM flops the padding would spend multiplying zeros. For the
+  convolution path (frames padded 2x for linear convolution) this halves
+  stage-1 work.
+  """
   n1, n2 = _split_factors(n)
   batch_shape = xr.shape[:-1]
   # x[N2*n1 + n2] -> [batch, n1, n2]
@@ -78,6 +87,15 @@ def _fft_core(xr: Array, xi: Array, n: int) -> Tuple[Array, Array]:
 
   c1, s1 = _dft_matrices(n1)
   w1r, w1i = jnp.asarray(c1), jnp.asarray(s1)
+  if 0 < n_nonzero < n:
+    # Rows n1 >= ceil(n_nonzero / n2) of the input view are all zero
+    # (x[N2*n1 + n2] with N2*n1 >= n_nonzero): slice them out of the
+    # contraction entirely.
+    live = -(-n_nonzero // n2)
+    xr = xr[..., :live, :]
+    xi = xi[..., :live, :]
+    w1r = w1r[:, :live]
+    w1i = w1i[:, :live]
   # A[k1, n2] = sum_n1 W1[k1, n1] x[n1, n2], contracting over n1 (axis -2).
   ar = (_einsum('kn,...nm->...km', w1r, xr) -
         _einsum('kn,...nm->...km', w1i, xi))
@@ -117,7 +135,7 @@ def matmul_rfft(x: Array, fft_size: int) -> Tuple[Array, Array]:
   if m < fft_size:
     pad = [(0, 0)] * (x.ndim - 1) + [(0, fft_size - m)]
     x = jnp.pad(x, pad)
-  yr, yi = _fft_core(x, jnp.zeros_like(x), fft_size)
+  yr, yi = _fft_core(x, jnp.zeros_like(x), fft_size, n_nonzero=m)
   half = fft_size // 2 + 1
   return yr[..., :half], yi[..., :half]
 
@@ -356,6 +374,11 @@ def partitioned_convolve(audio: Array, impulse_response: Array,
   # 'valid' crops reach into the all-zero tail); those samples are padded.
   avail = max(0, min(out_len, total - out_start))
   tail_pad = out_len - avail
+  if avail == 0:
+    # Degenerate window entirely past the convolution's support: all
+    # zeros. (Also keeps the frame-slice math below from producing
+    # zero-width matmul operands when out_start >= total.)
+    return jnp.zeros((batch, max(out_len, 0)), dtype=jnp.float32)
   # Output frame m spans samples [m*L, m*L + 2L); keep frames overlapping
   # the requested window.
   m0 = max(0, -(-(out_start - fft_size + 1) // block))

@@ -87,7 +87,13 @@ def shard_batch(batch, mesh: Mesh):
     # Multi-host: each process feeds its LOCAL batch rows; the global
     # array is assembled across hosts along the sharded batch dim (the
     # reference's per-worker dataset sharding, trainers.py:145-150).
+    # Leaves that are already global jax.Arrays (e.g. a batch passed back
+    # from a previous step, which train_step explicitly allows) must not
+    # go through np.asarray - a non-fully-addressable array cannot be
+    # pulled to one host; they are already placed, so pass them through.
     def put_global(x):
+      if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        return x
       return jax.make_array_from_process_local_data(spec_for(x),
                                                     np.asarray(x))
     return jax.tree_util.tree_map(put_global, batch)

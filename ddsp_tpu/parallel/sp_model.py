@@ -39,8 +39,9 @@ from jax.sharding import Mesh
 
 from ddsp_tpu.losses.spectral import SpectralLoss
 from ddsp_tpu.ops import fftconv as fftconv_ops
-from ddsp_tpu.ops.core import nested_lookup
+from ddsp_tpu.ops.core import nested_lookup, to_dict
 from ddsp_tpu.parallel import time_shard
+from ddsp_tpu.proc import dags
 from ddsp_tpu.proc import effects as effects_lib
 from ddsp_tpu.proc import synths as synths_lib
 from ddsp_tpu.proc.dags import loss_module_name
@@ -111,19 +112,30 @@ def sp_run_dag(pg, inputs: TensorDict, mesh: Mesh,
                halo_impl: str = 'xla') -> TensorDict:
   """ProcessorGroup.run_dag with time-sharded signal generation.
 
-  Mirrors DAGModule.run_dag (proc/dags.py) node for node: same nested-key
-  routing, same outputs contract ({name: {signal, controls}}, 'out' alias).
+  Mirrors DAGModule.run_dag (proc/dags.py) node for node: same
+  processor/loss/plain-module dispatch, same nested-key routing, same
+  outputs contract ({name: {signal, controls}}, 'out' alias). Only
+  processor nodes get the time-sharded signal path; loss and plain
+  network nodes run their ordinary implementation on the global arrays.
   """
   outputs = dict(inputs)
   outputs['inputs'] = inputs
 
   module_outputs = {}
-  for module, name, in_keys in zip(pg.dag_modules, pg.node_names,
-                                   pg.node_input_keys):
+  for module, name, in_keys, out_keys in zip(pg.dag_modules, pg.node_names,
+                                             pg.node_input_keys,
+                                             pg.node_output_keys):
     node_inputs = [nested_lookup(key, outputs) for key in in_keys]
-    controls = module.get_controls(*node_inputs)
-    signal = _sp_get_signal(module, controls, mesh, halo_impl)
-    module_outputs = dict(signal=signal, controls=controls)
+    if dags.is_processor(module):
+      controls = module.get_controls(*node_inputs)
+      signal = _sp_get_signal(module, controls, mesh, halo_impl)
+      module_outputs = dict(signal=signal, controls=controls)
+    elif dags.is_loss(module):
+      module_outputs = module.get_losses_dict(*node_inputs)
+    else:
+      module_outputs = module(*node_inputs)
+      if not isinstance(module_outputs, dict):
+        module_outputs = to_dict(module_outputs, out_keys)
     outputs[name] = module_outputs
 
   outputs['out'] = module_outputs

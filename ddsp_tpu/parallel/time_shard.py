@@ -197,6 +197,53 @@ def local_fft_convolve_same(audio_local: Array,
   return result
 
 
+def _local_upsample_2tap(frames: Array, n_samples: int, t_local: int,
+                         start: Array, method: str) -> Array:
+  """The [start, start + t_local) window of resample(frames, n_samples).
+
+  For hop-aligned windows (t_local a multiple of hop = n_samples //
+  n_frames) both 'window' (overlap-add hann) and 'linear' resampling are
+  2-tap interpolations with a per-hop-periodic weight pattern, so the
+  local window needs only its own t_local // hop + 1 frames - the whole
+  point of time sharding is that a shard never materializes an
+  O(n_samples)-long envelope. 'window' reproduces the global
+  upsample_with_windows bit for bit (identical per-interval weights);
+  'linear' matches up to one f64->f32 rounding of the fractional
+  coordinate.
+
+  Args:
+    frames: [batch, n_frames, channels] frame-rate controls (replicated).
+    n_samples: GLOBAL output length the full resample would produce.
+    t_local: This shard's window length.
+    start: Traced first global sample index of the window (hop-aligned).
+    method: 'window' or 'linear'.
+
+  Returns:
+    [batch, t_local, channels] local envelope window.
+  """
+  n_frames = int(frames.shape[1])
+  hop = n_samples // n_frames
+  n_loc = t_local // hop
+  if method == 'window':
+    # Same construction as resample.upsample_with_windows (periodic hann).
+    t = jnp.arange(2 * hop, dtype=jnp.float32)
+    w = 0.5 - 0.5 * jnp.cos(2.0 * np.pi * t / (2 * hop))
+    rise, fall = w[:hop], w[hop:]
+  elif method == 'linear':
+    d = (np.arange(hop, dtype=np.float64) / hop).astype(np.float32)
+    rise, fall = jnp.asarray(d), jnp.asarray(1.0 - d)
+  else:
+    raise ValueError(f'Unsupported 2-tap method: {method!r}')
+  # Endpoint extension (hold the last frame), as in the global resample.
+  ext = jnp.concatenate([frames, frames[:, -1:, :]], axis=1)
+  q0 = start // hop
+  blk = jax.lax.dynamic_slice_in_dim(ext, q0, n_loc + 1, axis=1)
+  seg = (blk[:, 1:, :, jnp.newaxis] * rise
+         + blk[:, :-1, :, jnp.newaxis] * fall)
+  seg = jnp.transpose(seg, (0, 1, 3, 2))
+  return seg.reshape(frames.shape[0], t_local, frames.shape[-1])
+
+
 def local_harmonic_synthesis(frequencies: Array,
                              amplitudes: Array,
                              harmonic_distribution: Optional[Array],
@@ -207,9 +254,10 @@ def local_harmonic_synthesis(frequencies: Array,
   """Time-sharded harmonic synthesis (controls replicated, audio sharded).
 
   Frame-rate controls are tiny (and replicated); each shard materializes
-  only its own slice of the audio-rate envelopes (a static gather into the
-  frames), accumulates its local phase, and exchanges one scalar carry per
-  batch element. Output is the local shard of [batch, n_samples] audio.
+  only its own t_local-long slice of the audio-rate envelopes
+  (_local_upsample_2tap - never the O(n_samples) full envelope),
+  accumulates its local phase, and exchanges one scalar carry per batch
+  element. Output is the local shard of [batch, n_samples] audio.
   """
   n_shards = jax.lax.axis_size(axis_name)
   my_idx = jax.lax.axis_index(axis_name)
@@ -225,15 +273,29 @@ def local_harmonic_synthesis(frequencies: Array,
     n_harmonics = 1
     harmonic_amplitudes = amplitudes
 
-  # Full audio-rate envelopes via the same resample math, then slice the
-  # local window. The resample is a static gather over (tiny) frames, so
-  # XLA only materializes the slice each shard reads.
-  amp_env = resample_fn(harmonic_amplitudes, n_samples,
-                                  method=amp_resample_method)
-  f0_env = resample_fn(frequencies, n_samples)
   start = my_idx * t_local
-  amp_env = jax.lax.dynamic_slice_in_dim(amp_env, start, t_local, axis=1)
-  f0_env = jax.lax.dynamic_slice_in_dim(f0_env, start, t_local, axis=1)
+
+  def hop_aligned(arr):
+    n_frames = int(arr.shape[1])
+    return (n_samples % n_frames == 0
+            and t_local % (n_samples // n_frames) == 0)
+
+  def local_env(arr, method):
+    """Local envelope window; O(t_local) memory on the aligned fast path.
+
+    n_shards == 1 keeps the exact global code path (bit-identical to the
+    dense forward, which the trivial-mesh equivalence test pins); the
+    non-aligned fallback computes the full resample then slices (correct,
+    just not memory-sharded for that control).
+    """
+    if (n_shards > 1 and method in ('window', 'linear')
+        and hop_aligned(arr)):
+      return _local_upsample_2tap(arr, n_samples, t_local, start, method)
+    env = resample_fn(arr, n_samples, method=method)
+    return jax.lax.dynamic_slice_in_dim(env, start, t_local, axis=1)
+
+  amp_env = local_env(harmonic_amplitudes, amp_resample_method)
+  f0_env = local_env(frequencies, 'linear')
 
   omega = f0_env * (2.0 * np.pi) / float(sample_rate)
   phase0 = local_phase_cumsum(omega, axis_name)

@@ -57,9 +57,17 @@ class Trainer:
                lr_decay_rate: float = 0.98,
                grad_clip_norm: float = 3.0,
                checkpoints_to_keep: int = 100,
-               seed: int = 0):
+               seed: int = 0,
+               halo_impl: str = 'xla'):
+    """halo_impl: 'xla' (ppermute collectives) or 'pallas' (in-kernel ICI
+    RDMA, parallel/pallas_halo.py) for the time-sharded kernels' neighbor
+    exchanges. Only meaningful when the mesh time-shards."""
+    if halo_impl not in ('xla', 'pallas'):
+      raise ValueError(f"halo_impl must be 'xla' or 'pallas', "
+                       f'got {halo_impl!r}')
     self.model = model
     self.mesh = mesh if mesh is not None else mesh_lib.create_mesh()
+    self.halo_impl = halo_impl
     self.checkpoints_to_keep = checkpoints_to_keep
     self.seed = seed
 
@@ -78,11 +86,38 @@ class Trainer:
   # Build / init
   # ----------------------------------------------------------------------
   def init(self, batch: Dict[str, Any]) -> TrainState:
-    """Initialize parameters and optimizer state from one example batch."""
+    """Initialize parameters and optimizer state from one example batch.
+
+    When the mesh time-shards, initialization runs through the same
+    sequence-parallel program as the train step (sp_forward_with_losses),
+    jitted with the batch audio sharded over ('data', 'time') - so param
+    creation never materializes an unsharded [batch, n_samples]-scale
+    intermediate on one chip. Audio lengths that need N chips' memory to
+    train therefore also initialize (and the param tree is identical:
+    both paths reach every setup()-created param).
+    """
     rngs = {'params': jax.random.PRNGKey(self.seed),
             'noise': jax.random.PRNGKey(self.seed + 1)}
-    variables = self.model.init(rngs, batch, training=True,
-                                return_losses=True)
+    from ddsp_tpu.parallel import sp_model  # pylint: disable=g-import-not-at-top
+    if sp_model.has_time_sharding(self.mesh):
+      model, mesh = self.model, self.mesh
+      halo_impl = self.halo_impl
+      sharded = mesh_lib.shard_batch(batch, mesh)
+
+      def init_fn(b):
+        if halo_impl == 'pallas':
+          from ddsp_tpu.parallel import pallas_halo  # pylint: disable=g-import-not-at-top
+          pallas_halo.reset_collective_id_counter()  # trace-time
+        return model.init(rngs, b, mesh=mesh, training=True,
+                          halo_impl=halo_impl,
+                          method=sp_model.sp_forward_with_losses)
+
+      variables = jax.jit(
+          init_fn,
+          out_shardings=mesh_lib.replicated_sharding(mesh))(sharded)
+    else:
+      variables = self.model.init(rngs, batch, training=True,
+                                  return_losses=True)
     params = variables.get('params', {})
     opt_state = self.optimizer.init(params)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
@@ -107,14 +142,22 @@ class Trainer:
     from ddsp_tpu.parallel import sp_model  # pylint: disable=g-import-not-at-top
     use_sp = sp_model.has_time_sharding(self.mesh)
     mesh = self.mesh
+    halo_impl = self.halo_impl
 
     def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+      if use_sp and halo_impl == 'pallas':
+        # Trace-time: deterministic collective_ids per program, so SPMD
+        # hosts with different warm-up histories compile identical
+        # barrier wiring (pallas_halo module docstring).
+        from ddsp_tpu.parallel import pallas_halo  # pylint: disable=g-import-not-at-top
+        pallas_halo.reset_collective_id_counter()
       rng = jax.random.fold_in(base_key, state.step)
 
       def loss_fn(params):
         if use_sp:
           _, losses = model.apply(
               {'params': params}, batch, mesh=mesh, training=True,
+              halo_impl=halo_impl,
               method=sp_model.sp_forward_with_losses, rngs={'noise': rng})
         else:
           _, losses = model.apply({'params': params}, batch, training=True,
