@@ -79,21 +79,40 @@ class BasicEvaluator(BaseEvaluator):
 
 
 class F0LdEvaluator(BaseEvaluator):
-  """Loudness and f0 metrics (reference F0LdEvaluator:95)."""
+  """Loudness and f0 metrics (reference F0LdEvaluator:95).
+
+  Two pitch measurements:
+    * metrics/f0/*: the f0 control the model synthesized with vs the
+      dataset f0 (reference F0Metrics semantics) - only when the DAG
+      exposes it.
+    * metrics/f0_{yin,crepe}/*: the pitch track OF THE GENERATED AUDIO
+      (f0_dist, RPA/RCA, outlier_ratio) - real pitch fidelity. The
+      estimator defaults to 'auto': CREPE when $CREPE_WEIGHTS_DIR holds
+      pretrained weights, else the weights-free classical YIN tracker
+      (metrics.compute_f0_yin), so pitch metrics are always reported.
+
+  Args:
+    f0_estimator: 'auto', 'yin', 'crepe', or None (disable audio-pitch
+      metrics).
+    run_f0_crepe: Back-compat alias for f0_estimator='crepe'.
+  """
 
   def __init__(self, sample_rate=16000, frame_rate=250,
-               run_f0_crepe: bool = False):
+               run_f0_crepe: bool = False, f0_estimator='auto'):
     super().__init__(sample_rate, frame_rate)
     self._loudness_metrics = metrics_lib.LoudnessMetrics(
         sample_rate, frame_rate)
     self._f0_metrics = metrics_lib.F0Metrics(sample_rate, frame_rate)
-    # CREPE fallback for models that don't expose f0 (needs weights for
-    # meaningful numbers; see ops.crepe).
-    self._run_f0_crepe = run_f0_crepe
-    self._warned_no_f0 = False
     if run_f0_crepe:
-      self._f0_crepe_metrics = metrics_lib.F0CrepeMetrics(
-          sample_rate, frame_rate)
+      f0_estimator = 'crepe'
+    if f0_estimator == 'auto':
+      f0_estimator = ('crepe' if metrics_lib.crepe_weights_available()
+                      else 'yin')
+    self._f0_gen_metrics = None
+    if f0_estimator is not None:
+      self._f0_gen_metrics = metrics_lib.F0GenMetrics(
+          sample_rate, frame_rate, estimator=f0_estimator)
+    self._warned_no_f0 = False
 
   def evaluate(self, batch, outputs, losses):
     audio_gen = np.asarray(outputs['audio_synth'])
@@ -105,27 +124,26 @@ class F0LdEvaluator(BaseEvaluator):
       f0_synth = controls.get('f0_hz')
     if f0_synth is not None and 'f0_hz' in batch:
       self._f0_metrics.update_state(batch, np.asarray(f0_synth))
-    elif self._run_f0_crepe:
-      self._f0_crepe_metrics.update_state(batch, audio_gen)
-    elif not self._warned_no_f0:
-      # Without CREPE or a synth-exposed f0 the evaluator silently
-      # narrows to loudness only - say so once, loudly, so a missing
-      # pitch column in eval results is not mistaken for "perfect".
+    # Pitch of the generated audio itself (not just the control input).
+    if self._f0_gen_metrics is not None:
+      self._f0_gen_metrics.update_state(batch, audio_gen)
+    elif f0_synth is None and not self._warned_no_f0:
+      # With the estimator disabled AND no synth-exposed f0 the evaluator
+      # silently narrows to loudness only - say so once, loudly, so a
+      # missing pitch column in eval results is not mistaken for perfect.
       self._warned_no_f0 = True
       logger.warning(
           'F0LdEvaluator: model outputs expose no f0 control and '
-          'run_f0_crepe=False - skipping all pitch metrics '
-          '(f0_dist, raw_pitch_accuracy, raw_chroma_accuracy); only '
-          'loudness will be reported. Pass run_f0_crepe=True and point '
-          '$CREPE_WEIGHTS_DIR at pretrained CREPE weights to measure '
-          'pitch fidelity of the generated audio.')
+          'f0_estimator=None - skipping all pitch metrics (f0_dist, '
+          'raw_pitch_accuracy, raw_chroma_accuracy); only loudness will '
+          'be reported.')
 
   def flush(self, step):
     results = {}
     results.update(self._loudness_metrics.flush(step))
     results.update(self._f0_metrics.flush(step))
-    if self._run_f0_crepe:
-      results.update(self._f0_crepe_metrics.flush(step))
+    if self._f0_gen_metrics is not None:
+      results.update(self._f0_gen_metrics.flush(step))
     return results
 
 

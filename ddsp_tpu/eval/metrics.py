@@ -182,34 +182,176 @@ class F0Metrics(BaseMetrics):
         self._add('f0_dist_midi_l1', dist)
 
 
-class F0CrepeMetrics(BaseMetrics):
-  """CREPE-based f0 metrics for generated audio (no ground-truth f0 needed).
+def crepe_weights_available(model_capacity: str = 'tiny') -> bool:
+  """True when pretrained CREPE weights exist ($CREPE_WEIGHTS_DIR)."""
+  import os  # pylint: disable=g-import-not-at-top
+  d = os.environ.get('CREPE_WEIGHTS_DIR', '')
+  return bool(d) and os.path.exists(
+      os.path.join(d, f'model-{model_capacity}.h5'))
 
-  Reference metrics.py:213 (F0CrepeMetrics): per-sample CREPE pitch of the
-  generated audio compared to the dataset f0 (or CREPE on the input audio),
-  with outlier accounting. Needs CREPE weights for meaningful numbers.
+
+def compute_f0_yin(audio: np.ndarray,
+                   sample_rate: int = 16000,
+                   frame_rate: int = 250,
+                   frame_size: int = 2048,
+                   fmin: float = 60.0,
+                   fmax: float = 2000.0,
+                   threshold: float = 0.1):
+  """Classical YIN pitch tracker (numpy, weights-free).
+
+  de Cheveigne & Kawahara (2002): per frame, the cumulative-mean-normalized
+  difference function d'(tau) is searched for the first dip below
+  `threshold` (walked to its local minimum, refined by parabolic
+  interpolation); f0 = sample_rate / tau. Implemented fully vectorized
+  over [batch, n_frames] with an FFT-based difference function.
+
+  This is the weights-free fallback for the eval pitch metrics: the
+  reference's pitch pipeline (/root/reference/ddsp/training/metrics.py:
+  58-72) needs the CREPE pip models; RPA/RCA only need *an* f0 estimate.
+
+  Args:
+    audio: [n_samples] or [batch, n_samples] at sample_rate.
+    sample_rate: Hz.
+    frame_rate: Rate of f0 frames in Hz.
+    frame_size: Analysis frame length (integration window = frame_size/2).
+    fmin / fmax: F0 search band in Hz.
+    threshold: YIN absolute threshold on d'.
+
+  Returns:
+    (f0_hz, f0_confidence): numpy float32, shape [(batch,) n_frames] with
+    n_frames matching spectral.get_framed_lengths(..., 'center'). The
+    confidence is 1 - d'(tau) (energy-gated to 0 on silent frames).
+  """
+  audio = np.asarray(audio, np.float32)
+  was_1d = audio.ndim == 1
+  audio = np.atleast_2d(audio)
+  hop = sample_rate // frame_rate
+  n_frames, _ = spectral.get_framed_lengths(audio.shape[1], frame_size,
+                                            hop, 'center')
+  pad = frame_size // 2
+  x = np.pad(audio, ((0, 0), (pad, pad)))
+  idx = np.arange(n_frames)[:, None] * hop + np.arange(frame_size)[None, :]
+  frames = x[:, idx].astype(np.float64)  # [B, F, N]
+
+  w = frame_size // 2
+  tau_max = min(w, int(sample_rate / fmin))
+  tau_min = max(2, int(round(sample_rate / fmax)))
+  taus = np.arange(tau_max + 1)
+
+  # Difference function d(tau) = E0 + E(tau) - 2 c(tau) over a w-sample
+  # integration window, with the cross term via FFT.
+  head = frames[..., :w]
+  nfft = int(2 ** np.ceil(np.log2(frame_size + w)))
+  cc = np.fft.irfft(np.conj(np.fft.rfft(head, nfft)) *
+                    np.fft.rfft(frames, nfft), nfft)[..., :tau_max + 1]
+  e0 = np.sum(head ** 2, axis=-1, keepdims=True)
+  csq = np.concatenate(
+      [np.zeros(frames.shape[:-1] + (1,)), np.cumsum(frames ** 2, -1)], -1)
+  e_tau = csq[..., taus + w] - csq[..., taus]
+  d = np.maximum(e0 + e_tau - 2.0 * cc, 0.0)
+
+  # Cumulative-mean normalization; d'(0) = 1 by definition.
+  cum = np.cumsum(d[..., 1:], axis=-1)
+  dprime = np.ones_like(d)
+  dprime[..., 1:] = d[..., 1:] * taus[1:] / np.maximum(cum, 1e-12)
+
+  band = dprime[..., tau_min:tau_max + 1]
+  below = band < threshold
+  any_below = below.any(axis=-1)
+  t = np.where(any_below, np.argmax(below, axis=-1),
+               np.argmin(band, axis=-1))
+  # Walk the threshold crossing down to its local minimum (vectorized
+  # fixed point; dips are a few samples wide, so this converges fast).
+  for _ in range(64):
+    nxt = np.minimum(t + 1, band.shape[-1] - 1)
+    val_n = np.take_along_axis(band, nxt[..., None], -1)[..., 0]
+    val_t = np.take_along_axis(band, t[..., None], -1)[..., 0]
+    go = (val_n < val_t) & any_below & (nxt > t)
+    if not go.any():
+      break
+    t = np.where(go, nxt, t)
+
+  ta = t + tau_min  # absolute lag
+  ta_c = np.clip(ta, 1, tau_max - 1)
+  g = lambda off: np.take_along_axis(dprime, (ta_c + off)[..., None],
+                                     -1)[..., 0]
+  d0, d1, d2 = g(-1), g(0), g(1)
+  denom = d0 - 2.0 * d1 + d2
+  shift = np.where(np.abs(denom) > 1e-12, 0.5 * (d0 - d2) / denom, 0.0)
+  shift = np.clip(shift, -0.5, 0.5)
+  period = np.where((ta > tau_min) & (ta < tau_max), ta_c + shift,
+                    ta).astype(np.float64)
+  f0_hz = sample_rate / np.maximum(period, 1e-6)
+
+  dp_best = np.take_along_axis(dprime, ta[..., None], -1)[..., 0]
+  confidence = 1.0 - np.clip(dp_best, 0.0, 1.0)
+  # Silence gate: an all-zero frame has d == 0 everywhere, which would
+  # read as a perfectly periodic (confident) detection.
+  silent = (e0[..., 0] / w) < 1e-9
+  confidence = np.where(silent, 0.0, confidence)
+
+  f0_hz = f0_hz.astype(np.float32)
+  confidence = confidence.astype(np.float32)
+  return (f0_hz[0], confidence[0]) if was_1d else (f0_hz, confidence)
+
+
+class F0GenMetrics(BaseMetrics):
+  """Pitch metrics of *generated audio* via a pitch estimator.
+
+  Reference metrics.py:213 (F0CrepeMetrics): per-sample pitch track of the
+  generated audio compared to the dataset f0 (or the estimator run on the
+  input audio), with outlier accounting. Extends the reference with
+  RPA/RCA of the generated audio's pitch (50-cent tolerance) and a
+  weights-free 'yin' estimator so pitch fidelity is measurable without
+  the CREPE .h5 files.
+
+  Attributes:
+    estimator: 'yin' (classical, weights-free) or 'crepe' (needs
+      $CREPE_WEIGHTS_DIR for meaningful numbers).
   """
 
-  def __init__(self, sample_rate=16000, frame_rate=250, name='f0_crepe'):
-    super().__init__(sample_rate, frame_rate, name)
+  def __init__(self, sample_rate=16000, frame_rate=250, name=None,
+               estimator='yin', rpa_tolerance=50.0):
+    if estimator not in ('yin', 'crepe'):
+      raise ValueError(f'Unknown f0 estimator: {estimator!r}')
+    super().__init__(sample_rate, frame_rate,
+                     name if name else f'f0_{estimator}')
+    self._estimator = estimator
+    self._rpa_tolerance = rpa_tolerance
     self._outliers = []
+
+  def _estimate(self, audio: np.ndarray):
+    if self._estimator == 'crepe':
+      return spectral.compute_f0(np.asarray(audio),
+                                 frame_rate=self._frame_rate, viterbi=True)
+    return compute_f0_yin(np.asarray(audio), sample_rate=self._sample_rate,
+                          frame_rate=self._frame_rate)
 
   def update_state(self, batch: Dict[str, Any], audio_gen: np.ndarray):
     batch_size = int(audio_gen.shape[0])
     for i in range(batch_size):
-      f0_hz_gen, _ = spectral.compute_f0(
-          np.asarray(audio_gen[i]), frame_rate=self._frame_rate,
-          viterbi=True)
-      if 'f0_hz' in batch and 'f0_confidence' in batch:
-        f0_hz_gt = np.asarray(batch['f0_hz'][i])
-        f0_conf_gt = np.asarray(batch['f0_confidence'][i])
+      f0_hz_gen, f0_conf_gen = self._estimate(audio_gen[i])
+      if 'f0_hz' in batch:
+        f0_hz_gt = np.asarray(batch['f0_hz'][i]).squeeze()
+        if 'f0_confidence' in batch:
+          f0_conf_gt = np.asarray(batch['f0_confidence'][i]).squeeze()
+        else:
+          f0_conf_gt = np.ones_like(f0_hz_gt)
       else:
-        f0_hz_gt, f0_conf_gt = spectral.compute_f0(
-            np.asarray(batch['audio'][i]), frame_rate=self._frame_rate,
-            viterbi=True)
+        f0_hz_gt, f0_conf_gt = self._estimate(np.asarray(batch['audio'][i]))
 
       if np.max(f0_conf_gt) < MIN_F0_CONFIDENCE:
         continue  # Unreliable ground truth; discard sample.
+
+      # Pitch accuracy of the generated audio (voiced, confident frames).
+      n = min(f0_hz_gt.shape[-1], f0_hz_gen.shape[-1])
+      ref, est = f0_hz_gt[:n], f0_hz_gen[:n]
+      voicing = (ref > 0) & (f0_conf_gt[:n] >= MIN_F0_CONFIDENCE)
+      self._add('raw_pitch_accuracy',
+                raw_pitch_accuracy(ref, est, voicing, self._rpa_tolerance))
+      self._add('raw_chroma_accuracy',
+                raw_chroma_accuracy(ref, est, voicing, self._rpa_tolerance))
+
       f0_dist = f0_dist_conf_thresh(f0_hz_gt, f0_hz_gen, f0_conf_gt)
       if f0_dist is None:
         self._outliers.append(1.0)
@@ -225,8 +367,16 @@ class F0CrepeMetrics(BaseMetrics):
       results[key] = float(np.mean(self._outliers))
       logger.info('step %d %s = %.4f', step, key, results[key])
       self._outliers = []
-    spectral.reset_crepe()
+    if self._estimator == 'crepe':
+      spectral.reset_crepe()
     return results
+
+
+class F0CrepeMetrics(F0GenMetrics):
+  """CREPE-based f0 metrics (reference metrics.py:213 name parity)."""
+
+  def __init__(self, sample_rate=16000, frame_rate=250, name='f0_crepe'):
+    super().__init__(sample_rate, frame_rate, name, estimator='crepe')
 
 
 # ------------------------------------------------------------------------------

@@ -17,7 +17,7 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 
-def main():
+def main(argv=None):
   parser = argparse.ArgumentParser(description=__doc__)
   parser.add_argument('--input', required=True, help='Input WAV')
   parser.add_argument('--model_dir', required=True,
@@ -31,7 +31,18 @@ def main():
                       help='0..1 amount of pitch quantization')
   parser.add_argument('--octave_shift', type=int, default=0)
   parser.add_argument('--loudness_shift_db', type=float, default=0.0)
-  args = parser.parse_args()
+  parser.add_argument('--f0_estimator', choices=('auto', 'yin', 'crepe'),
+                      default='auto',
+                      help="Pitch tracker for feature extraction: 'crepe' "
+                           "(needs $CREPE_WEIGHTS_DIR), 'yin' "
+                           "(weights-free classical), or 'auto' (crepe "
+                           "when weights exist, else yin)")
+  parser.add_argument('--platform', default='')
+  args = parser.parse_args(argv)
+
+  if args.platform:
+    import jax
+    jax.config.update('jax_platforms', args.platform)
 
   import numpy as np
   from ddsp_tpu import infer, ops
@@ -42,8 +53,18 @@ def main():
   sr, frame_rate = 16000, 250
   audio = load_audio(args.input, sr)
 
-  # Extract features (f0 needs CREPE weights; see ops.crepe).
-  f0_hz, f0_conf = ops.compute_f0(audio, frame_rate=frame_rate)
+  # Extract features. CREPE needs pretrained weights; the YIN fallback
+  # (eval.metrics.compute_f0_yin) is weights-free, so the demo works on a
+  # bare machine.
+  from ddsp_tpu.eval.metrics import compute_f0_yin, crepe_weights_available
+  estimator = args.f0_estimator
+  if estimator == 'auto':
+    estimator = 'crepe' if crepe_weights_available() else 'yin'
+  if estimator == 'crepe':
+    f0_hz, f0_conf = ops.compute_f0(audio, frame_rate=frame_rate)
+  else:
+    f0_hz, f0_conf = compute_f0_yin(audio, sample_rate=sr,
+                                    frame_rate=frame_rate)
   loudness_db = np.asarray(ops.compute_loudness(
       audio[np.newaxis], sample_rate=sr, frame_rate=frame_rate))[0]
   n = min(len(f0_hz), len(loudness_db))
@@ -88,6 +109,7 @@ def main():
   audio_out = np.asarray(model.get_audio(features))[0]
   summaries.write_wav(args.output, audio_out, sr)
   print(f'Wrote {args.output} ({len(audio_out)/sr:.2f}s)')
+  return float(np.sqrt(np.mean(audio_out**2)))
 
 
 if __name__ == '__main__':

@@ -42,6 +42,14 @@ def test_train_eval_sample_round_trip(tmp_path):
   r = _run(['--mode', 'eval', '--run_once', '--num_eval_batches', '1']
            + spec_only)
   assert r.returncode == 0, r.stderr[-2000:]
+  # Pitch metrics must be REAL without CREPE weights: the YIN fallback
+  # reports f0 metrics of the generated audio in eval/metrics.jsonl.
+  eval_metrics_file = os.path.join(save_dir, 'eval', 'metrics.jsonl')
+  assert os.path.exists(eval_metrics_file)
+  eval_metrics = json.loads(
+      open(eval_metrics_file).read().strip().split('\n')[-1])
+  assert 'metrics/f0_yin/raw_pitch_accuracy' in eval_metrics, eval_metrics
+  assert 'metrics/loudness/loudness_db_l1' in eval_metrics
 
   r = _run(['--mode', 'sample', '--run_once', '--num_eval_batches', '1']
            + spec_only)
@@ -129,6 +137,26 @@ def test_train_time_sharded(tmp_path):
             '--batch_size', '2', '--time_shards', '4', '--n_devices', '8'])
   assert r.returncode == 0, r.stderr[-2000:]
   assert os.path.exists(os.path.join(save_dir, 'metrics.jsonl'))
+  with open(os.path.join(save_dir, 'metrics.jsonl')) as f:
+    lines = [json.loads(l) for l in f if l.strip()]
+  assert lines and any('total_loss' in l for l in lines)
+
+
+@pytest.mark.slow
+def test_train_time_sharded_pallas_halo(tmp_path):
+  """--halo_impl pallas trains on a time-sharded mesh (interpret mode on
+  CPU; chip-to-chip RDMA on a real multi-chip slice)."""
+  save_dir = str(tmp_path / 'sp_pallas_run')
+  r = _run(['--mode', 'train', '--num_steps', '2', '--steps_per_save', '2',
+            '--steps_per_summary', '2',
+            '--save_dir', save_dir, '--data', 'synthetic:4',
+            '--preset', 'tiny',
+            '--model_kwargs', json.dumps(dict(
+                n_samples=16384, time_steps=128, n_harmonics=8,
+                n_noise_magnitudes=9, reverb_length=3000)),
+            '--batch_size', '2', '--time_shards', '4', '--n_devices', '4',
+            '--halo_impl', 'pallas'])
+  assert r.returncode == 0, r.stderr[-2000:]
   with open(os.path.join(save_dir, 'metrics.jsonl')) as f:
     lines = [json.loads(l) for l in f if l.strip()]
   assert lines and any('total_loss' in l for l in lines)
