@@ -54,6 +54,22 @@ def _next_collective_id() -> int:
   return next(_collective_id_counter) % _COLLECTIVE_ID_POOL
 
 
+def reset_collective_id_counter():
+  """Restart the round-robin collective_id allocator at 0.
+
+  Call at the START of tracing a jitted program that uses the pallas halo
+  impl (the Trainer does this inside its step function body, which runs
+  at trace time): ids then depend only on the program's own exchange
+  order, not on process history - so SPMD hosts that traced different
+  warm-up programs still compile identical barrier wiring for the shared
+  step. Safe across programs: executions are serialized per device and
+  every barrier completes within its program, so two sequentially-run
+  executables may reuse ids.
+  """
+  global _collective_id_counter
+  _collective_id_counter = itertools.count()
+
+
 def _interpret_needs_xla_fallback() -> bool:
   """True when the enclosing shard_map mesh has more than one named axis.
 

@@ -130,6 +130,14 @@ def main(argv=None):
                            'time=time_shards) and the train step routes '
                            'synthesis/filtering/loss through the '
                            'halo-exchanging shard_map kernels')
+  parser.add_argument('--halo_impl', choices=('xla', 'pallas'),
+                      default='xla',
+                      help="Neighbor-exchange implementation for the "
+                           "time-sharded kernels: 'xla' (ppermute "
+                           "collectives, default) or 'pallas' (in-kernel "
+                           "chip-to-chip RDMA over ICI; needs a real "
+                           "multi-chip TPU slice - on CPU meshes it "
+                           "falls back to interpret mode / ppermute)")
   args = parser.parse_args(argv)
 
   logging.basicConfig(
@@ -194,7 +202,8 @@ def main(argv=None):
                      f'device count ({len(devices)})')
   mesh = create_mesh(n_data=len(devices) // args.time_shards,
                      n_time=args.time_shards, devices=devices)
-  trainer = Trainer(model, mesh=mesh, learning_rate=args.learning_rate)
+  trainer = Trainer(model, mesh=mesh, learning_rate=args.learning_rate,
+                    halo_impl=args.halo_impl)
 
   if args.mode == 'train':
     iterator = provider.get_batch(args.batch_size, shuffle=True, repeats=-1)

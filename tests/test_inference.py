@@ -369,3 +369,28 @@ class TestVSTStreaming:
     noise_audio = synth_n(jnp.full((5,), 0.1))
     assert noise_audio.shape == (HOP,)
     assert np.any(np.asarray(noise_audio) != 0)
+
+
+class TestDeviceIndependentRestore:
+
+  def test_load_params_without_target_returns_host_arrays(self, tmp_path):
+    """A mesh-trained checkpoint must load in a process with a DIFFERENT
+    device set (e.g. single-chip inference of a pod-trained model). The
+    no-target path restores to host numpy via the checkpoint's own
+    metadata instead of recreating the saved shardings."""
+    provider = SyntheticSinusoidProvider(n_samples=8192, sample_rate=16000,
+                                         frame_rate=250, n_examples=2)
+    batch = next(provider.get_batch(2, shuffle=False))
+    # t_local (8192/2) must clear the largest loss fft size (2048).
+    model = utils.build_model('tiny', n_samples=8192, time_steps=64,
+                              n_harmonics=6, n_noise_magnitudes=9,
+                              reverb_length=500)
+    mesh = create_mesh(n_data=2, n_time=2, devices=jax.devices()[:4])
+    trainer = Trainer(model, mesh=mesh)
+    state = trainer.init(batch)
+    state, _ = trainer.train_step(state, batch)
+    trainer.save(state, str(tmp_path))
+
+    params = infer.load_params(str(tmp_path))
+    leaves = jax.tree_util.tree_leaves(params)
+    assert leaves and all(isinstance(l, np.ndarray) for l in leaves)
