@@ -75,6 +75,13 @@ class Reverb(Processor):
     """Apply impulse response; returns [batch, n_samples]."""
     audio = ops_core.jnp_float32(audio)
     ir = _mask_dry_ir(ops_core.jnp_float32(ir))
+    if self.trainable:
+      # The controls dict carries the IR tiled to the batch (reference
+      # contract), but every row is the one shared trainable IR - hand
+      # fft_convolve the single row so the partitioned path transforms
+      # it once and broadcasts in the frequency domain (same gradient:
+      # the broadcast's adjoint sums the batch contributions).
+      ir = ir[:1]
     wet = fft_convolve(audio, ir, padding='same', delay_compensation=0)
     return (wet + audio) if self.add_dry else wet
 
