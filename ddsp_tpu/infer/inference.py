@@ -48,8 +48,20 @@ def load_params(save_dir: str, target_params=None):
   if target_params is not None:
     target = {'params': jax.tree_util.tree_map(np.asarray, target_params)}
     restored = mgr.restore(step, args=ocp.args.StandardRestore(target))
-  else:
-    restored = mgr.restore(step)
+    return restored['params']
+  # No target: restore to HOST (numpy) arrays via a target built from the
+  # checkpoint's own metadata. A raw restore would try to recreate the
+  # shardings the checkpoint was SAVED with, which fails whenever the
+  # device set differs - e.g. a model trained on an N-device mesh loaded
+  # by a single-device inference process.
+  item_dir = os.path.join(os.path.abspath(save_dir), str(step), 'default')
+  ckptr = ocp.StandardCheckpointer()
+  meta = ckptr.metadata(item_dir)
+  tree = getattr(meta, 'item_metadata', meta)
+  target = jax.tree_util.tree_map(
+      lambda m: np.zeros(m.shape, m.dtype), tree,
+      is_leaf=lambda x: hasattr(x, 'shape') and hasattr(x, 'dtype'))
+  restored = ckptr.restore(item_dir, target=target)
   return restored['params']
 
 
