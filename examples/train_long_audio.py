@@ -22,7 +22,7 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 
-def main():
+def main(argv=None):
   parser = argparse.ArgumentParser(description=__doc__)
   parser.add_argument('--seconds', type=float, default=8.0)
   parser.add_argument('--time_shards', type=int, default=4)
@@ -31,7 +31,7 @@ def main():
   # On a real TPU slice pass --no-simulate_cpu to use the actual devices.
   parser.add_argument('--simulate_cpu', default=True,
                       action=argparse.BooleanOptionalAction)
-  args = parser.parse_args()
+  args = parser.parse_args(argv)
 
   n_devices = args.time_shards * args.data_shards
   if args.simulate_cpu:
@@ -102,6 +102,7 @@ def main():
     if step % 10 == 0 or step == 1:
       print(f'step {step:4d} loss {float(loss):8.4f}')
   print('Done.')
+  return float(loss)
 
 
 if __name__ == '__main__':

@@ -17,13 +17,13 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 
-def main():
+def main(argv=None):
   parser = argparse.ArgumentParser(description=__doc__)
   parser.add_argument('--steps', type=int, default=300)
   parser.add_argument('--save_dir', default='/tmp/ddsp_tpu_single_sound')
   parser.add_argument('--seconds', type=float, default=1.0)
   parser.add_argument('--platform', default='')
-  args = parser.parse_args()
+  args = parser.parse_args(argv)
 
   logging.basicConfig(level=logging.INFO)
   if args.platform:
@@ -85,9 +85,11 @@ def main():
   outputs = model.apply({'params': jax.device_get(state.params)}, batch,
                         training=False,
                         rngs={'noise': jax.random.PRNGKey(0)})
+  audio_synth = np.asarray(outputs['audio_synth'])
   summaries.sample_batch(args.save_dir, int(state.step), batch,
-                         np.asarray(outputs['audio_synth']), sr)
+                         audio_synth, sr)
   print(f'Done. Samples in {args.save_dir}/samples/')
+  return float(np.sqrt(np.mean(audio_synth**2)))
 
 
 if __name__ == '__main__':
