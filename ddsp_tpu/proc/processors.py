@@ -94,25 +94,23 @@ class Mix(Processor):
 
   def get_controls(self, signal_one: Array, signal_two: Array,
                    nn_out_mix_level: Array) -> TensorDict:
-    """Standardize inputs to same length, mix_level to range [0, 1].
+    """Squash the raw mix level into [0, 1] and resample it to audio rate.
 
     Args:
-      signal_one: 2-D or 3-D array.
-      signal_two: 2-D or 3-D array.
-      nn_out_mix_level: Shape [batch, n_time, 1], network output determining
-        relative levels of signal one and two.
+      signal_one: First signal, [batch, n_time(, ch)]; must be the same
+        length as signal_two.
+      signal_two: Second signal, same shape contract.
+      nn_out_mix_level: Raw network output [batch, frames, 1] that sets
+        the balance between the two signals (sigmoid-squashed here).
 
     Returns:
-      Dict of control parameters.
-
-    Raises:
-      ValueError: If signal_one and signal_two are not the same length.
+      Controls dict {signal_one, signal_two, mix_level}.
     """
     n_time_one = int(signal_one.shape[1])
     n_time_two = int(signal_two.shape[1])
     if n_time_one != n_time_two:
-      raise ValueError('The two signals must have the same length instead of'
-                       f'{n_time_one} and {n_time_two}')
+      raise ValueError(f'Mix needs equal-length signals; got {n_time_one} '
+                       f'vs {n_time_two} samples.')
 
     mix_level = jax.nn.sigmoid(nn_out_mix_level)
     mix_level = resample(mix_level, n_time_one)
@@ -136,7 +134,13 @@ class Mix(Processor):
 
 
 class Crop(Processor):
-  """Remove audio generated from padding frames."""
+  """Trim synthesis produced by padding frames off one or both ends.
+
+  One full frame_size of samples is removed in total: all from the start
+  ('front'), all from the end ('back'), or split evenly ('center' - the
+  same two half-frames that centered framing added, rounded down so odd
+  frame sizes trim symmetrically).
+  """
 
   frame_size: int = 1024
   crop_location: str = 'back'
@@ -145,14 +149,13 @@ class Crop(Processor):
     return {'audio': audio}
 
   def get_signal(self, audio: Array) -> Array:
-    half_pad_amount = int(self.frame_size // 2)  # Symmetric even.
-    pad_amount = 2 * half_pad_amount
+    half = int(self.frame_size // 2)
     if self.crop_location == 'front':
-      return audio[:, pad_amount:]
+      return audio[:, 2 * half:]
     elif self.crop_location == 'center':
-      return audio[:, half_pad_amount:-half_pad_amount]
+      return audio[:, half:-half]
     elif self.crop_location == 'back':
-      return audio[:, :-pad_amount]
+      return audio[:, :-2 * half]
     else:
-      raise ValueError(f'Crop_location: ({self.crop_location}), must be '
-                       '"front", "center", or "back".')
+      raise ValueError(f'Unknown crop_location {self.crop_location!r}; '
+                       "expected 'front', 'center', or 'back'.")
