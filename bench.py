@@ -95,26 +95,12 @@ def main():
   params = jax.device_put(params)
   inputs = jax.device_put(inputs)
 
-  def sync(tree):
-    # block_until_ready can under-report through the device tunnel; fence
-    # with a real transfer of ONE element (device-side slice first - a
-    # full np.asarray(leaf) would add the whole array's tunnel transfer
-    # time, ~30 ms for a batch-64 audio buffer, to the measurement).
-    leaf = jax.tree_util.tree_leaves(tree)[0]
-    np.asarray(jnp.ravel(leaf)[:1])
-
-  # Warmup / compile.
-  loss, grads = step(params, inputs)
-  sync((loss, grads))
-
-  # Timed steady state. 60 iterations: single-run timings through the
-  # device tunnel vary ~±30%; a longer window damps it.
-  iters = 60
-  t0 = time.time()
-  for _ in range(iters):
-    loss, grads = step(params, inputs)
-  sync((loss, grads))
-  dt = (time.time() - t0) / iters
+  # Timed steady state. measure() repeats 60-iteration windows until the
+  # post-compile contention on the shared remote-compile TPU drains and
+  # the running minimum stabilizes (benchmarks/timing.py) - a single
+  # window right after the compile over-reports by 10-100x on this box.
+  from benchmarks.timing import measure
+  dt = measure(step, (params, inputs), iters=60)
   samples_per_s = BATCH * N_SAMPLES / dt
 
   baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -46,15 +46,12 @@ def main():
   results = {}
 
   def bench(name, fn, *fargs):
+    from benchmarks.timing import measure
     t_c = time.perf_counter()
     r = fn(*fargs)
     sync(r)
     compile_s = time.perf_counter() - t_c
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-      r = fn(*fargs)
-    sync(r)
-    dt = (time.perf_counter() - t0) / args.iters
+    dt = measure(fn, fargs, args.iters)
     results[name] = dt
     print(f'{name:28s} {dt*1e3:8.2f} ms   (compile {compile_s:.1f}s)',
           flush=True)

@@ -51,14 +51,12 @@ def _sync(tree):
 
 def _time(fn, args, iters):
   import jax
+  from benchmarks.timing import measure
+  # Repeats the trial until post-compile device contention drains
+  # (benchmarks/timing.py); single-window timing right after a compile
+  # over-reports by 10-100x on this box.
   args = jax.device_put(args)
-  r = fn(*args)
-  _sync(r)
-  t0 = time.perf_counter()
-  for _ in range(iters):
-    r = fn(*args)
-  _sync(r)
-  return (time.perf_counter() - t0) / iters
+  return measure(fn, args, iters)
 
 
 def roofline_entry(name, seconds, flops, bytes_moved, compute_peak):

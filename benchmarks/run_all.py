@@ -37,16 +37,13 @@ def _sync(tree):
 
 def _time(fn, args, iters):
   import jax
+  from benchmarks.timing import measure
   # Steady-state training keeps data on-device; don't measure host->device
-  # transfers (which cross a network tunnel on this box).
+  # transfers (which cross a network tunnel on this box). measure() also
+  # repeats the trial until post-compile device contention drains (see
+  # benchmarks/timing.py).
   args = jax.device_put(args)
-  r = fn(*args)
-  _sync(r)
-  t0 = time.perf_counter()
-  for _ in range(iters):
-    r = fn(*args)
-  _sync(r)
-  return (time.perf_counter() - t0) / iters
+  return measure(fn, args, iters)
 
 
 def bench_harmonic_forward(iters):
@@ -142,13 +139,14 @@ def bench_training_steps_tpu_batch(iters):
                                             devices=jax.devices()[:1]))
   state = trainer.init(batch)
   batch = jax.device_put(batch)
-  state, losses = trainer.train_step(state, batch)
-  _sync(losses)
-  t0 = time.perf_counter()
-  for _ in range(iters):
-    state, losses = trainer.train_step(state, batch)
-  _sync(losses)
-  dt = (time.perf_counter() - t0) / iters
+  from benchmarks.timing import measure
+  cell = [state]
+
+  def step_once(batch):
+    cell[0], losses = trainer.train_step(cell[0], batch)
+    return losses
+
+  dt = measure(step_once, (batch,), iters)
   return {'seconds_per_step': dt, 'steps_per_s': 1.0 / dt,
           'audio_samples_per_s': batch_size * N_SAMPLES / dt,
           'batch_size': batch_size}
@@ -169,13 +167,14 @@ def bench_training_steps(iters):
                                             devices=jax.devices()[:1]))
   state = trainer.init(batch)
   batch = jax.device_put(batch)
-  state, losses = trainer.train_step(state, batch)
-  _sync(losses)
-  t0 = time.perf_counter()
-  for _ in range(iters):
-    state, losses = trainer.train_step(state, batch)
-  _sync(losses)
-  dt = (time.perf_counter() - t0) / iters
+  from benchmarks.timing import measure
+  cell = [state]
+
+  def step_once(batch):
+    cell[0], losses = trainer.train_step(cell[0], batch)
+    return losses
+
+  dt = measure(step_once, (batch,), iters)
   return {'seconds_per_step': dt, 'steps_per_s': 1.0 / dt,
           'batch_size': 4}
 
