@@ -95,12 +95,13 @@ def main():
   params = jax.device_put(params)
   inputs = jax.device_put(inputs)
 
-  # Timed steady state. measure() repeats 60-iteration windows until the
-  # post-compile contention on the shared remote-compile TPU drains and
-  # the running minimum stabilizes (benchmarks/timing.py) - a single
+  # Timed steady state. measure_full() repeats 60-iteration windows until
+  # the post-compile contention on the shared remote-compile TPU drains
+  # and the running minimum stabilizes (benchmarks/timing.py) - a single
   # window right after the compile over-reports by 10-100x on this box.
-  from benchmarks.timing import measure
-  dt = measure(step, (params, inputs), iters=60)
+  from benchmarks.timing import measure_full
+  m = measure_full(step, (params, inputs), iters=60)
+  dt = m.best
   samples_per_s = BATCH * N_SAMPLES / dt
 
   baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -112,12 +113,22 @@ def main():
     ref = baseline['chain_fwd_grad_batch16']['audio_samples_per_s']
     vs_baseline = samples_per_s / ref
 
+  # Publish the full spread, not just the point estimate: every window's
+  # ms/step goes to stderr (and into the JSON line as windows_ms) so a
+  # session-to-session delta can be attributed to tunnel/compile-service
+  # contention (big spread, stable min) vs a real regression (min moved).
+  print(f'bench.py windows (ms/step): '
+        f'{[round(w * 1e3, 3) for w in m.windows]} '
+        f'min={m.best * 1e3:.3f} mean={m.mean * 1e3:.3f} '
+        f'spread={m.spread * 100:.1f}%', file=sys.stderr, flush=True)
   print(json.dumps({
       'metric': 'harmonic+noise+reverb chain fwd+grad, batch 16, '
                 f'4s@16kHz, on {devices[0].device_kind}',
       'value': round(samples_per_s, 1),
       'unit': 'audio_samples/s',
       'vs_baseline': round(vs_baseline, 2) if vs_baseline else None,
+      'windows_ms': [round(w * 1e3, 3) for w in m.windows],
+      'mean_value': round(BATCH * N_SAMPLES / m.mean, 1),
   }))
 
 

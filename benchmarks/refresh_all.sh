@@ -23,5 +23,9 @@ timeout 1800 python benchmarks/roofline.py
 echo "== VST streaming latency (vst_latency.json) =="
 timeout 1800 python benchmarks/vst_latency.py
 
-echo "Done. Review the JSONs, update docs/DESIGN.md + README numbers,"
-echo "and commit."
+echo "== regenerate doc numbers from the JSONs =="
+python benchmarks/gen_docs.py
+
+echo "Done. Review the JSONs + regenerated README/docs/DESIGN.md blocks"
+echo "and commit. (Doc numbers are never hand-edited: gen_docs.py"
+echo "derives them from the committed measurement artifacts.)"

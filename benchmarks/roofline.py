@@ -40,15 +40,6 @@ SR = 16000
 N_SAMPLES = 64000
 
 
-def _sync(tree):
-  import jax
-  import jax.numpy as jnp
-  # 1-element fence (device-side slice): excludes full-array tunnel
-  # transfer time from the measurement.
-  leaf = jax.tree_util.tree_leaves(tree)[0]
-  np.asarray(jnp.ravel(leaf)[:1])
-
-
 def _time(fn, args, iters):
   import jax
   from benchmarks.timing import measure

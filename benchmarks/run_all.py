@@ -26,15 +26,6 @@ N_SAMPLES = 64000
 N_FRAMES = 250
 
 
-def _sync(tree):
-  import jax
-  import jax.numpy as jnp
-  # Fence with a 1-element transfer: device-side slice first, so the
-  # measurement excludes the (slow) full-array tunnel transfer.
-  leaf = jax.tree_util.tree_leaves(tree)[0]
-  np.asarray(jnp.ravel(leaf)[:1])
-
-
 def _time(fn, args, iters):
   import jax
   from benchmarks.timing import measure

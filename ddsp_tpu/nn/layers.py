@@ -210,12 +210,19 @@ class FastGRU(nn.Module):
       # One Pallas launch for the whole recurrence: wh resident in VMEM,
       # timestep blocks streamed, carry in scratch; backward recomputes
       # gates in-kernel (see ops/pallas_kernels/gru.py). Batch rows are
-      # independent, so an off-sublane batch is zero-padded to the 8-row
-      # tile and sliced back - the kernel's per-step latency is set by the
-      # serial recurrence, not the row count, so this still wins.
+      # independent, so an off-sublane batch is zero-padded to the tile
+      # (8 rows f32, 16 rows bf16) and sliced back - the kernel's
+      # per-step latency is set by the serial recurrence, not the row
+      # count, so this still wins.
       from ddsp_tpu.ops import pallas_kernels  # pylint: disable=g-import-not-at-top
+      if dt != jnp.float32:
+        # bf16 stream: XLA fuses this cast into the hoisted GEMM's
+        # epilogue (the f32 xp has no other consumer), halving the
+        # kernel's stream traffic and unlocking bf16 recurrent GEMMs.
+        xp = xp.astype(dt)
       batch = xp.shape[0]
-      pad_b = -batch % 8
+      tile = 16 if xp.dtype == jnp.bfloat16 else 8
+      pad_b = -batch % tile
       if pad_b:
         xp_k = jnp.pad(xp, ((0, pad_b), (0, 0), (0, 0)))
         h0_k = jnp.pad(h0, ((0, pad_b), (0, 0)))

@@ -51,19 +51,24 @@ def _pad8(batch: int) -> int:
   return -(-batch // _SUBLANES) * _SUBLANES
 
 
-def _fwd_vmem_bytes(block_t: int, batch: int, h_dim: int) -> int:
-  # Double-buffered streams (xp in, ys out) + resident wh/h0/scratch/bn.
+def _fwd_vmem_bytes(block_t: int, batch: int, h_dim: int,
+                    itemsize: int = 4) -> int:
+  # Double-buffered streams (xp in at stream itemsize, ys out f32) +
+  # resident wh (stream itemsize) / h0 / scratch / bn.
   b = _pad8(batch)
-  return 4 * (2 * block_t * b * 3 * h_dim + 2 * block_t * b * h_dim +
-              3 * h_dim * h_dim + 2 * b * h_dim + 2 * h_dim)
+  return (itemsize * (2 * block_t * b * 3 * h_dim + 3 * h_dim * h_dim) +
+          4 * (2 * block_t * b * h_dim + 2 * b * h_dim + 2 * h_dim))
 
 
-def _bwd_vmem_bytes(block_t: int, batch: int, h_dim: int) -> int:
-  # Streams: g + xp + h_prev in, dxp out (all double-buffered); resident
-  # wh + dwh accumulator + dh0 + scratch + biases.
+def _bwd_vmem_bytes(block_t: int, batch: int, h_dim: int,
+                    itemsize: int = 4) -> int:
+  # Streams: g + h_prev in (f32), xp in + dxp out (stream itemsize), all
+  # double-buffered; resident wh (stream itemsize) + dwh accumulator (f32)
+  # + dh0 + scratch + biases.
   b = _pad8(batch)
-  return 4 * (2 * block_t * b * 5 * h_dim + 2 * block_t * b * 3 * h_dim +
-              6 * h_dim * h_dim + 2 * b * h_dim + 4 * h_dim)
+  return (itemsize * (2 * block_t * b * 6 * h_dim + 3 * h_dim * h_dim) +
+          4 * (2 * block_t * b * 2 * h_dim + 3 * h_dim * h_dim +
+               2 * b * h_dim + 4 * h_dim))
 
 
 def gru_kernel_supported(batch: int, seq_len: int, hidden: int) -> bool:
@@ -80,6 +85,18 @@ def gru_kernel_supported(batch: int, seq_len: int, hidden: int) -> bool:
           _bwd_vmem_bytes(1, batch, hidden) <= _VMEM_BUDGET_BYTES)
 
 
+def _stream_dtype(compute_dtype) -> jnp.dtype:
+  """dtype for the streamed xp/dxp and the resident wh.
+
+  bfloat16 halves both the HBM stream traffic and, on the per-step
+  recurrent GEMMs, quadruples the MXU rate (f32 inputs run at ~1/4 the
+  bf16 rate on v5e). The carry, gate math, ys, and every gradient
+  accumulator stay float32.
+  """
+  dt = jnp.dtype(compute_dtype)
+  return dt if dt in (jnp.dtype(jnp.bfloat16),) else jnp.dtype(jnp.float32)
+
+
 def _pick_block_t(seq_len: int, max_block: int = 8) -> int:
   for b in (8, 4, 2):
     if b <= max_block and seq_len % b == 0:
@@ -88,11 +105,11 @@ def _pick_block_t(seq_len: int, max_block: int = 8) -> int:
 
 
 def _pick_block_t_vmem(seq_len: int, batch: int, h_dim: int, vmem_fn,
-                       max_block: int = 8) -> int:
+                       max_block: int = 8, itemsize: int = 4) -> int:
   """Largest divisor block_t whose kernel footprint fits the budget."""
   while (max_block > 1 and
-         vmem_fn(_pick_block_t(seq_len, max_block), batch, h_dim) >
-         _VMEM_BUDGET_BYTES):
+         vmem_fn(_pick_block_t(seq_len, max_block), batch, h_dim,
+                 itemsize) > _VMEM_BUDGET_BYTES):
     max_block = _pick_block_t(seq_len, max_block) // 2
   return _pick_block_t(seq_len, max_block)
 
@@ -122,8 +139,10 @@ def _fwd_kernel(h0_ref, xp_ref, wh_ref, bn_ref, ys_ref, h_scratch, *,
   wh = wh_ref[...]
   bn = bn_ref[0:1, :]
   for j in range(block_t):
-    xp_t = xp_ref[j]
-    hp = jnp.dot(h, wh, preferred_element_type=jnp.float32)
+    # Streams may be bf16 (gate math is always f32); the recurrent GEMM
+    # runs at the stream dtype's MXU rate with f32 accumulation.
+    xp_t = xp_ref[j].astype(jnp.float32)
+    hp = jnp.dot(h.astype(wh.dtype), wh, preferred_element_type=jnp.float32)
     _, z, n = _gates(xp_t, hp, bn, h_dim)
     h = (1.0 - z) * n + z * h
     ys_ref[j] = h
@@ -155,9 +174,10 @@ def _bwd_kernel(g_ref, xp_ref, hprev_ref, wh_ref, bn_ref,
   bn = bn_ref[0:1, :]
   dh = dh_scratch[...]
   for j in reversed(range(block_t)):
-    xp_t = xp_ref[j]
+    xp_t = xp_ref[j].astype(jnp.float32)
     h_prev = hprev_ref[j]
-    hp = jnp.dot(h_prev, wh, preferred_element_type=jnp.float32)
+    hp = jnp.dot(h_prev.astype(wh.dtype), wh,
+                 preferred_element_type=jnp.float32)
     r, z, n = _gates(xp_t, hp, bn, h_dim)
 
     dht = dh + g_ref[j]
@@ -168,18 +188,20 @@ def _bwd_kernel(g_ref, xp_ref, hprev_ref, wh_ref, bn_ref,
     dr_pre = dr * r * (1.0 - r)
     dhn = dn_pre * r
 
-    dxp_ref[j] = jnp.concatenate([dr_pre, dz, dn_pre], axis=1)
-    dhp = jnp.concatenate([dr_pre, dz, dhn], axis=1)
+    dxp = jnp.concatenate([dr_pre, dz, dn_pre], axis=1)
+    dxp_ref[j] = dxp.astype(dxp_ref.dtype)
+    dhp = jnp.concatenate([dr_pre, dz, dhn], axis=1).astype(wh.dtype)
     # dh_prev: the direct z-gated path + the recurrent-projection path
     # (contract over the 3H axis directly - an explicit wh.T would
-    # materialize a 3 MB stack copy per unrolled step).
+    # materialize a 3 MB stack copy per unrolled step). GEMM operands run
+    # at the stream dtype; accumulation is always f32.
     dh = dht * z + jax.lax.dot_general(
         dhp, wh, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     # Weight/bias cotangents: sum over batch, accumulated straight into
     # the resident output blocks (no live local accumulator on the stack).
     dwh_ref[...] += jax.lax.dot_general(
-        h_prev, dhp, (((0,), (0,)), ((), ())),
+        h_prev.astype(wh.dtype), dhp, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     dbn_ref[...] += jnp.sum(dhn, axis=0, keepdims=True)
 
@@ -243,7 +265,10 @@ def _pallas_gru_bwd(g_t_major, xp_t_major, hprev_t_major, wh, bn2, *,
           pl.BlockSpec((1, h_dim), lambda i: (0, 0)),
       ),
       out_shape=(
-          jax.ShapeDtypeStruct((seq_len, batch, three_h), jnp.float32),
+          # dxp streams back at the xp stream dtype (the cotangent of a
+          # bf16 primal is bf16); weight/bias/carry cotangents stay f32.
+          jax.ShapeDtypeStruct((seq_len, batch, three_h),
+                               xp_t_major.dtype),
           jax.ShapeDtypeStruct((batch, h_dim), jnp.float32),
           jax.ShapeDtypeStruct((h_dim, three_h), jnp.float32),
           jax.ShapeDtypeStruct((1, h_dim), jnp.float32),
@@ -260,24 +285,30 @@ def fused_gru(xp: Array, wh: Array, bn: Array, h0: Array,
 
   Args:
     xp: Hoisted input projections incl. bias, [batch, time, 3H]
-      ([reset, update, candidate] gate order).
-    wh: Recurrent weights, [H, 3H].
+      ([reset, update, candidate] gate order). float32 or bfloat16: a
+      bf16 xp selects the mixed-precision kernel - bf16 streams and
+      recurrent-GEMM operands (4x MXU rate on v5e, half the HBM
+      traffic) with float32 gate math, carry, and accumulation.
+    wh: Recurrent weights, [H, 3H] (cast to the stream dtype internally).
     bn: Candidate recurrent bias, [H].
     h0: Initial hidden state, [batch, H].
     interpret: Pallas interpret mode (auto-selected by callers off-TPU).
 
   Returns:
-    (ys, h_final): hidden states [batch, time, H] and final carry [batch, H].
+    (ys, h_final): hidden states [batch, time, H] and final carry
+    [batch, H], always float32.
   """
   ys, _ = _run_fwd(xp, wh, bn, h0, interpret)
   return ys, ys[:, -1, :]
 
 
 def _run_fwd(xp, wh, bn, h0, interpret):
+  sdt = _stream_dtype(xp.dtype)
   block_t = _pick_block_t_vmem(xp.shape[1], xp.shape[0], wh.shape[0],
-                               _fwd_vmem_bytes)
+                               _fwd_vmem_bytes, itemsize=sdt.itemsize)
   xp_t_major = jnp.swapaxes(xp, 0, 1)
-  ys_t_major = _pallas_gru_fwd(h0, xp_t_major, wh,
+  ys_t_major = _pallas_gru_fwd(h0.astype(jnp.float32), xp_t_major,
+                               wh.astype(sdt),
                                bn.reshape(1, -1), block_t=block_t,
                                interpret=interpret)
   ys = jnp.swapaxes(ys_t_major, 0, 1)
@@ -292,23 +323,26 @@ def _fused_gru_fwd(xp, wh, bn, h0, interpret):
 def _fused_gru_bwd(interpret, residuals, cotangents):
   xp, wh, bn, h0, ys_t_major = residuals
   g_ys, g_hfinal = cotangents
+  sdt = _stream_dtype(xp.dtype)
   # The backward streams four block arrays (g, xp, h_prev, dxp) plus the
   # resident wh and the dwh accumulator; block_t 8 overflows the 16 MB
   # scoped VMEM at the canonical H=512/B=64 shape, 4 fits — and larger
   # batches shrink block_t further to stay inside the budget.
   block_t = _pick_block_t_vmem(xp.shape[1], xp.shape[0], wh.shape[0],
-                               _bwd_vmem_bytes, max_block=4)
+                               _bwd_vmem_bytes, max_block=4,
+                               itemsize=sdt.itemsize)
 
-  g_t_major = jnp.swapaxes(g_ys, 0, 1)
+  g_t_major = jnp.swapaxes(g_ys, 0, 1).astype(jnp.float32)
   # The final carry is ys[:, -1]: fold its cotangent into the last step.
-  g_t_major = g_t_major.at[-1].add(g_hfinal)
+  g_t_major = g_t_major.at[-1].add(g_hfinal.astype(jnp.float32))
   # h_prev stream: h0 followed by ys[:-1].
-  hprev_t_major = jnp.concatenate([h0[jnp.newaxis], ys_t_major[:-1]],
-                                  axis=0)
+  hprev_t_major = jnp.concatenate(
+      [h0.astype(jnp.float32)[jnp.newaxis], ys_t_major[:-1]], axis=0)
   dxp_t, dh0, dwh, dbn2 = _pallas_gru_bwd(
-      g_t_major, jnp.swapaxes(xp, 0, 1), hprev_t_major, wh,
+      g_t_major, jnp.swapaxes(xp, 0, 1), hprev_t_major, wh.astype(sdt),
       bn.reshape(1, -1), block_t=block_t, interpret=interpret)
-  return (jnp.swapaxes(dxp_t, 0, 1), dwh, dbn2[0], dh0)
+  return (jnp.swapaxes(dxp_t, 0, 1), dwh, dbn2[0],
+          dh0.astype(h0.dtype))
 
 
 fused_gru.defvjp(_fused_gru_fwd, _fused_gru_bwd)

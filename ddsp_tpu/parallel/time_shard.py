@@ -244,6 +244,45 @@ def _local_upsample_2tap(frames: Array, n_samples: int, t_local: int,
   return seg.reshape(frames.shape[0], t_local, frames.shape[-1])
 
 
+def _local_upsample_2tap_gather(frames: Array, n_samples: int, t_local: int,
+                                start: Array, method: str) -> Array:
+  """General-offset variant of _local_upsample_2tap (any integer hop).
+
+  Handles windows that are NOT hop-aligned: output position p = start + j
+  reads frames p // hop and p // hop + 1 with the per-hop-periodic 2-tap
+  weights, so a gather over a (t_local // hop + 2)-frame block covers any
+  offset. Memory stays O(t_local + hop) - no global envelope is ever
+  materialized. Same math as the aligned reshape path, just indexed
+  per-sample instead of per-hop-block.
+  """
+  n_frames = int(frames.shape[1])
+  hop = n_samples // n_frames
+  if method == 'window':
+    t = jnp.arange(2 * hop, dtype=jnp.float32)
+    w = 0.5 - 0.5 * jnp.cos(2.0 * np.pi * t / (2 * hop))
+    rise, fall = w[:hop], w[hop:]
+  elif method == 'linear':
+    d = (np.arange(hop, dtype=np.float64) / hop).astype(np.float32)
+    rise, fall = jnp.asarray(d), jnp.asarray(1.0 - d)
+  else:
+    raise ValueError(f'Unsupported 2-tap method: {method!r}')
+  # Enough held-last frames that the dynamic slice never clamps (held
+  # values match the endpoint-extension semantics anyway).
+  n_blk = t_local // hop + 2
+  ext = jnp.concatenate(
+      [frames, jnp.repeat(frames[:, -1:, :], n_blk, axis=1)], axis=1)
+  q0 = start // hop
+  blk = jax.lax.dynamic_slice_in_dim(ext, q0, n_blk, axis=1)
+  p = start + jnp.arange(t_local)
+  ql = p // hop - q0          # frame index within blk, in [0, n_blk - 2]
+  r = p % hop                 # position within the hop
+  lo = jnp.take(blk, ql, axis=1)
+  hi = jnp.take(blk, ql + 1, axis=1)
+  wr = jnp.take(rise, r)[jnp.newaxis, :, jnp.newaxis]
+  wf = jnp.take(fall, r)[jnp.newaxis, :, jnp.newaxis]
+  return hi * wr + lo * wf
+
+
 def local_harmonic_synthesis(frequencies: Array,
                              amplitudes: Array,
                              harmonic_distribution: Optional[Array],
@@ -281,18 +320,33 @@ def local_harmonic_synthesis(frequencies: Array,
             and t_local % (n_samples // n_frames) == 0)
 
   def local_env(arr, method):
-    """Local envelope window; O(t_local) memory on the aligned fast path.
+    """Local envelope window; always O(t_local) memory when sharded.
 
     n_shards == 1 keeps the exact global code path (bit-identical to the
-    dense forward, which the trivial-mesh equivalence test pins); the
-    non-aligned fallback computes the full resample then slices (correct,
-    just not memory-sharded for that control).
+    dense forward, which the trivial-mesh equivalence test pins). Sharded
+    windows use the reshape fast path when hop-aligned and the per-sample
+    gather otherwise - neither ever materializes the O(n_samples) global
+    envelope. Configurations with no memory-sharded implementation
+    (non-integer hop, or a method other than 'window'/'linear') raise
+    instead of silently computing the dense envelope: silent un-sharding
+    is exactly the OOM path time sharding exists to avoid.
     """
-    if (n_shards > 1 and method in ('window', 'linear')
-        and hop_aligned(arr)):
-      return _local_upsample_2tap(arr, n_samples, t_local, start, method)
-    env = resample_fn(arr, n_samples, method=method)
-    return jax.lax.dynamic_slice_in_dim(env, start, t_local, axis=1)
+    if n_shards == 1:
+      env = resample_fn(arr, n_samples, method=method)
+      return jax.lax.dynamic_slice_in_dim(env, start, t_local, axis=1)
+    n_frames = int(arr.shape[1])
+    if method in ('window', 'linear') and n_samples % n_frames == 0:
+      if hop_aligned(arr):
+        return _local_upsample_2tap(arr, n_samples, t_local, start, method)
+      return _local_upsample_2tap_gather(arr, n_samples, t_local, start,
+                                         method)
+    raise ValueError(
+        'Time-sharded harmonic synthesis has no memory-sharded upsampling '
+        f'path for method={method!r} with n_frames={n_frames}, '
+        f'n_samples={n_samples} (hop must be an integer and the method '
+        "'window' or 'linear'). Falling back to the dense global envelope "
+        'would defeat time sharding; pick n_samples divisible by n_frames '
+        'or run unsharded.')
 
   amp_env = local_env(harmonic_amplitudes, amp_resample_method)
   f0_env = local_env(frequencies, 'linear')

@@ -47,6 +47,57 @@ class TestComputeF0Yin:
     cents = 1200 * np.abs(np.log2(np.maximum(f0, 1e-6) / 220.0))
     assert np.mean(cents[4:-4] < 50) > 0.95
 
+  def test_chirp_tracks_per_frame(self):
+    # Frequency-VARYING input - the timbre-transfer case. A 220->440 Hz
+    # linear glissando over 2 s; each frame's estimate must follow the
+    # instantaneous frequency at that frame's center, not the average.
+    secs = 2.0
+    t = np.arange(int(secs * SR)) / SR
+    f_inst = 220.0 + (440.0 - 220.0) * t / secs
+    phase = 2 * np.pi * np.cumsum(f_inst) / SR
+    audio = (0.5 * np.sin(phase)).astype(np.float32)
+    f0, conf = metrics_lib.compute_f0_yin(audio, SR, FRAME_RATE)
+    hop = SR // FRAME_RATE
+    inner = slice(20, -20)  # away from the zero-padded edge frames
+    # Against the frame-center truth: within 50 cents everywhere.
+    centers = np.minimum(np.arange(len(f0)) * hop, len(t) - 1)
+    cents = 1200 * np.abs(np.log2(np.maximum(f0, 1e-6) / f_inst[centers]))
+    assert np.mean(cents[inner] < 50) > 0.95
+    assert np.mean(conf[inner] > 0.8) > 0.9
+    # YIN's integration head spans [center - w, center), so the estimate's
+    # effective epoch is center - w/2 (w = frame_size // 2 = 1024). At
+    # that epoch the tracker is tight on a glissando.
+    epoch = np.clip(np.arange(len(f0)) * hop - 512, 0, len(t) - 1)
+    cents_e = 1200 * np.abs(np.log2(np.maximum(f0, 1e-6) / f_inst[epoch]))
+    assert np.median(cents_e[inner]) < 5
+
+  def test_vibrato_follows_modulation(self):
+    # 6 Hz vibrato, +/-60 cents around 330 Hz. The 1024-sample YIN
+    # integration window (~64 ms, 0.38 vibrato cycles) low-passes the
+    # modulation, so per-frame tolerance is looser than for the chirp -
+    # but the estimate must genuinely FOLLOW the modulation (high
+    # correlation with the true contour), not flatten to the mean.
+    secs = 2.0
+    depth_cents = 60.0
+    t = np.arange(int(secs * SR)) / SR
+    f_inst = 330.0 * 2.0 ** (depth_cents / 1200.0 * np.sin(2 * np.pi * 6.0 * t))
+    phase = 2 * np.pi * np.cumsum(f_inst) / SR
+    audio = (0.5 * np.sin(phase)).astype(np.float32)
+    f0, _ = metrics_lib.compute_f0_yin(audio, SR, FRAME_RATE)
+    hop = SR // FRAME_RATE
+    # Truth at the estimator's effective epoch (center - w/2; see the
+    # chirp test) - without it, the 6 Hz modulation's ~0.19-cycle phase
+    # lag alone would destroy the correlation.
+    epoch = np.clip(np.arange(len(f0)) * hop - 512, 0, len(t) - 1)
+    truth = f_inst[epoch]
+    inner = slice(20, -20)
+    cents_err = 1200 * np.abs(np.log2(np.maximum(f0, 1e-6) / truth))
+    assert np.mean(cents_err[inner] < 50) > 0.9
+    est_cents = 1200 * np.log2(np.maximum(f0[inner], 1e-6) / 330.0)
+    true_cents = 1200 * np.log2(truth[inner] / 330.0)
+    corr = np.corrcoef(est_cents, true_cents)[0, 1]
+    assert corr > 0.9, corr
+
   def test_silence_has_zero_confidence(self):
     f0, conf = metrics_lib.compute_f0_yin(np.zeros(SR, np.float32), SR,
                                           FRAME_RATE)

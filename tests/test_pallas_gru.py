@@ -176,3 +176,60 @@ def test_large_batch_shrinks_block_t():
   ys_s, hf_s = _scan_gru(xp, wh, bn, h0)
   np.testing.assert_allclose(np.asarray(ys_p), np.asarray(ys_s),
                              atol=1e-6, rtol=1e-6)
+
+
+def test_bf16_stream_matches_f32_within_tolerance():
+  """bf16 xp selects the mixed-precision kernel; outputs stay f32 and
+  track the f32 recurrence within bf16 rounding accumulation."""
+  xp, wh, bn, h0 = _inputs(b=16, t=64, h=128, seed=9)
+  ys_f, hf_f = fused_gru(xp, wh, bn, h0, True)
+  ys_b, hf_b = fused_gru(xp.astype(jnp.bfloat16), wh, bn, h0, True)
+  assert ys_b.dtype == jnp.float32 and hf_b.dtype == jnp.float32
+  # Hidden states are tanh/sigmoid-bounded; bf16 operand rounding (~0.4%
+  # relative) stays bounded through the gated recurrence.
+  assert np.abs(np.asarray(ys_b) - np.asarray(ys_f)).max() < 5e-2
+  np.testing.assert_allclose(np.asarray(hf_b), np.asarray(hf_f),
+                             atol=5e-2)
+
+
+def test_bf16_gradients_dtypes_and_direction():
+  xp, wh, bn, h0 = _inputs(b=16, t=32, h=128, seed=10)
+
+  def loss(xp, wh, bn, h0):
+    ys, hf = fused_gru(xp, wh, bn, h0, True)
+    return jnp.mean(ys**2) + jnp.mean(hf**2)
+
+  g_f = jax.grad(loss, argnums=(0, 1, 2, 3))(xp, wh, bn, h0)
+  g_b = jax.grad(loss, argnums=(0, 1, 2, 3))(
+      xp.astype(jnp.bfloat16), wh, bn, h0)
+  # Cotangent of the bf16 primal is bf16; weight/bias/state stay f32.
+  assert g_b[0].dtype == jnp.bfloat16
+  assert all(g.dtype == jnp.float32 for g in g_b[1:])
+  for a, b in zip(g_b, g_f):
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    cos = a @ b / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-12)
+    assert cos > 0.99, cos
+
+
+def test_fastgru_bf16_close_to_f32_scan():
+  """FastGRU(compute_dtype='bfloat16', pallas) tracks the f32 scan."""
+  from ddsp_tpu.nn import layers as L
+  rng = np.random.RandomState(21)
+  x = jnp.asarray(rng.randn(4, 32, 64).astype(np.float32) * 0.3)
+  m_f32 = L.FastGRU(128, use_pallas=False, compute_dtype='float32')
+  m_b = L.FastGRU(128, use_pallas=True, compute_dtype='bfloat16')
+  v = m_f32.init(jax.random.PRNGKey(0), x)
+  y_f = np.asarray(m_f32.apply(v, x))
+  y_b = np.asarray(m_b.apply(v, x))
+  assert y_b.dtype == np.float32
+  assert np.abs(y_b - y_f).max() < 5e-2
+  g_f = jax.tree_util.tree_leaves(
+      jax.grad(lambda v: jnp.mean(m_f32.apply(v, x)**2))(v))
+  g_b = jax.tree_util.tree_leaves(
+      jax.grad(lambda v: jnp.mean(m_b.apply(v, x)**2))(v))
+  for a, b in zip(g_b, g_f):
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    cos = a @ b / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-12)
+    assert cos > 0.99, cos

@@ -59,6 +59,57 @@ def test_sharded_harmonic_synthesis_matches_single_device(n_shards):
   np.testing.assert_allclose(sharded, single, atol=2e-3)
 
 
+def test_sharded_harmonic_non_hop_aligned_matches_single_device():
+  # hop = 8000 / 25 = 320; t_local = 8000 / 4 = 2000 is NOT a multiple of
+  # 320, so this exercises the general-offset gather path for both the
+  # 'window' (amps) and 'linear' (f0) envelopes.
+  rng = np.random.RandomState(3)
+  batch, n_frames, n_samples, n_harm = 2, 25, 8000, 6
+  f0 = (200.0 + 100.0 * rng.rand(batch, n_frames, 1)).astype(np.float32)
+  amps = rng.rand(batch, n_frames, 1).astype(np.float32)
+  hd = rng.rand(batch, n_frames, n_harm).astype(np.float32)
+  hd /= hd.sum(-1, keepdims=True)
+
+  single = np.asarray(ops.harmonic_synthesis(
+      f0, amps, harmonic_distribution=hd, n_samples=n_samples))
+  mesh = time_mesh(4)
+  sharded = np.asarray(time_shard.time_sharded_harmonic_synthesis(
+      mesh, f0, amps, hd, n_samples=n_samples))
+  assert sharded.shape == single.shape
+  np.testing.assert_allclose(sharded, single, atol=2e-3)
+
+
+def test_sharded_harmonic_non_hop_aligned_stays_memory_sharded():
+  # The non-aligned path must never materialize the global envelope: the
+  # compiled per-device program may hold 2000-long (t_local) buffers but
+  # never an 8000-long (n_samples) one.
+  batch, n_frames, n_samples, n_harm = 2, 25, 8000, 6
+  rng = np.random.RandomState(4)
+  f0 = (200.0 + 100.0 * rng.rand(batch, n_frames, 1)).astype(np.float32)
+  amps = rng.rand(batch, n_frames, 1).astype(np.float32)
+  hd = rng.rand(batch, n_frames, n_harm).astype(np.float32)
+  mesh = time_mesh(4)
+
+  compiled = jax.jit(lambda f, a, h: time_shard.time_sharded_harmonic_synthesis(
+      mesh, f, a, h, n_samples=n_samples)).lower(f0, amps, hd).compile()
+  hlo = '\n'.join(m.to_string()
+                  for m in compiled.runtime_executable().hlo_modules())
+  assert f'{n_samples}]' not in hlo and f'{n_samples},' not in hlo, (
+      'non-hop-aligned SP synthesis materialized a global-time-axis buffer')
+
+
+def test_sharded_harmonic_non_integer_hop_raises():
+  # 8000 / 30 is not an integer hop: there is no memory-sharded upsample,
+  # and silently computing the dense envelope is forbidden.
+  batch, n_frames, n_samples = 1, 30, 8000
+  f0 = (220.0 * np.ones((batch, n_frames, 1))).astype(np.float32)
+  amps = np.ones((batch, n_frames, 1), np.float32)
+  mesh = time_mesh(4)
+  with pytest.raises(ValueError, match='memory-sharded'):
+    time_shard.time_sharded_harmonic_synthesis(
+        mesh, f0, amps, None, n_samples=n_samples)
+
+
 def test_sharded_harmonic_synthesis_gradients_match():
   rng = np.random.RandomState(2)
   batch, n_frames, n_samples, n_harm = 1, 10, 4000, 4
