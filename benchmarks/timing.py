@@ -8,9 +8,15 @@ Two measurement hazards on this box, both empirically verified on the
     returns, kernels time 10-100x slower than steady state (measured
     1.5 ms vs 0.02 ms for the identical executable). A single warmup call
     does not clear it.
- 2. Tunnel sync slack. block_until_ready can under-report through the
-    tunnel; measurements fence the whole output tree and then do a
-    1-element device->host transfer.
+ 2. Under-fencing. Fetching one element of the FIRST output leaf (the
+    loss scalar) returns ~0.5 ms/step EARLY on the canonical chain: the
+    runtime hands back the last program's loss buffer before the large
+    gradient outputs have fully materialized (measured round 5, two
+    interleaved A/B runs: loss-only fence 4.21-4.25 ms/step vs full
+    fence 4.71-4.88 ms/step for the identical executable). Rounds 1-4
+    fenced loss-only, so their published chain numbers are ~10%
+    optimistic; measurements here block_until_ready the WHOLE output
+    tree, then do a 1-element device->host transfer.
 
 measure() therefore repeats the timing trial until the running minimum
 stops improving, and reports that minimum - the uncontended steady state a

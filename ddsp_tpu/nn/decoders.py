@@ -45,7 +45,7 @@ class RnnFcDecoder(nn_layers.DictModule):
   # 'bfloat16' runs the FC-stack and hoisted-GRU GEMMs on the MXU's
   # 4x-rate bf16 path (float32 params, accumulation, LayerNorm, and
   # recurrent carry); the output head stays float32.
-  compute_dtype: str = 'float32'
+  compute_dtype: str = 'bfloat16'
 
   def _input_keys(self):
     keys = list(self.input_keys)

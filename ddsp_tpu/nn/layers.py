@@ -124,7 +124,7 @@ class Fc(nn.Module):
 
   ch: int = 128
   nonlinearity: str = 'leaky_relu'
-  compute_dtype: str = 'float32'
+  compute_dtype: str = 'bfloat16'
 
   @nn.compact
   def __call__(self, x: Array) -> Array:
@@ -146,7 +146,7 @@ class FcStack(nn.Module):
   ch: int = 256
   layers: int = 2
   nonlinearity: str = 'leaky_relu'
-  compute_dtype: str = 'float32'
+  compute_dtype: str = 'bfloat16'
 
   @nn.compact
   def __call__(self, x: Array) -> Array:
@@ -168,7 +168,7 @@ class FastGRU(nn.Module):
 
   dims: int = 512
   unroll: int = 16
-  compute_dtype: str = 'float32'
+  compute_dtype: str = 'bfloat16'
   # None = auto: fused Pallas sequence kernel on TPU when shapes conform
   # (ops/pallas_kernels/gru.py), lax.scan otherwise.
   use_pallas: Optional[bool] = None
@@ -257,7 +257,7 @@ class FastGRU(nn.Module):
     return ys
 
 
-def _rnn_cell(rnn_type: str, dims: int, compute_dtype: str = 'float32'):
+def _rnn_cell(rnn_type: str, dims: int, compute_dtype: str = 'bfloat16'):
   cells = {'lstm': nn.OptimizedLSTMCell, 'gru': nn.GRUCell}
   # flax cells take a computation `dtype` (params stay `param_dtype`
   # float32), mirroring FastGRU's bf16-compute/f32-param split.
@@ -279,7 +279,7 @@ class Rnn(nn.Module):
   # FastGRU changes the param-tree layout (wi/wh/bi/bn instead of nested
   # GRUCell denses); set False to restore checkpoints trained before it.
   use_fast_gru: bool = True
-  compute_dtype: str = 'float32'
+  compute_dtype: str = 'bfloat16'
 
   @nn.compact
   def __call__(self, x: Array) -> Array:
@@ -309,7 +309,7 @@ class StatelessRnn(nn.Module):
   rnn_type: str = 'gru'
   unroll: int = 16
   use_fast_gru: bool = True
-  compute_dtype: str = 'float32'
+  compute_dtype: str = 'bfloat16'
 
   @nn.compact
   def __call__(self, x: Array, state: Array) -> Tuple[Array, Array]:

@@ -121,25 +121,20 @@ def _fft_core(xr: Array, xi: Array, n: int,
   return yr, yi
 
 
-@functools.lru_cache(maxsize=None)
-def _pack_weights(fft_size: int) -> Tuple[np.ndarray, np.ndarray]:
-  """e^{-2 pi i k / N} for k = 0..N/2 as (cos, sin) float32 pair."""
-  k = np.arange(fft_size // 2 + 1)
-  ang = -2.0 * np.pi * k / fft_size
-  return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
-
-
 def matmul_rfft(x: Array, fft_size: int) -> Tuple[Array, Array]:
   """rfft of real x (zero-padded to fft_size); returns (re, im) halves.
 
   Shapes: [..., m] -> ([..., fft_size//2 + 1],) * 2.
 
-  Packs even/odd samples into one complex sequence and runs a HALF-size
-  complex four-step FFT, then untangles the two interleaved real spectra
-  with an O(N) twiddle pass: Z = fft(x[0::2] + i x[1::2]),
-  Xe[k] = (Z[k] + conj(Z[H-k]))/2, Xo[k] = -i (Z[k] - conj(Z[H-k]))/2,
-  X[k] = Xe[k] + e^{-2 pi i k/N} Xo[k]. Roughly 3x fewer GEMM MACs than a
-  full-size complex transform of the zero-imag input.
+  Full-size four-step transform of the zero-imag input (XLA folds the
+  imaginary-part GEMMs of the literal-zero operand), with stage-1 rows
+  beyond the zero padding sliced out of the contraction (n_nonzero). A
+  half-size even/odd-packed variant (fft(x[0::2] + i x[1::2]) + an O(N)
+  untangle pass) was built and benchmarked in round 4: despite ~3x fewer
+  GEMM MACs it measured ~0.5 ms/step SLOWER on the canonical reverb chain
+  on v5e - the untangle's lane reversals and concats are HBM-bound VPU
+  work that costs more than the (already fast, MXU-resident) GEMMs it
+  saves - so the full-size transform is the shipped path.
   """
   m = x.shape[-1]
   if m > fft_size:
@@ -150,54 +145,26 @@ def matmul_rfft(x: Array, fft_size: int) -> Tuple[Array, Array]:
   if m < fft_size:
     pad = [(0, 0)] * (x.ndim - 1) + [(0, fft_size - m)]
     x = jnp.pad(x, pad)
-  half = fft_size // 2
-  z = x.reshape(x.shape[:-1] + (half, 2))
-  zr, zi = _fft_core(z[..., 0], z[..., 1], half, n_nonzero=-(-m // 2))
-
-  # Z extended with Z[H] := Z[0] (H-periodicity), then Zc[k] = conj(Z[H-k]).
-  zr_ext = jnp.concatenate([zr, zr[..., :1]], axis=-1)
-  zi_ext = jnp.concatenate([zi, zi[..., :1]], axis=-1)
-  zcr = zr_ext[..., ::-1]
-  zci = -zi_ext[..., ::-1]
-  xer = 0.5 * (zr_ext + zcr)
-  xei = 0.5 * (zi_ext + zci)
-  dr = 0.5 * (zr_ext - zcr)
-  di = 0.5 * (zi_ext - zci)
-  # Xo = -i * d.
-  xor_, xoi = di, -dr
-  wc, ws = _pack_weights(fft_size)
-  wr, wi = jnp.asarray(wc), jnp.asarray(ws)
-  return xer + wr * xor_ - wi * xoi, xei + wr * xoi + wi * xor_
+  yr, yi = _fft_core(x, jnp.zeros_like(x), fft_size, n_nonzero=m)
+  half = fft_size // 2 + 1
+  return yr[..., :half], yi[..., :half]
 
 
 def matmul_irfft(yr: Array, yi: Array, fft_size: int) -> Array:
   """Inverse rfft from (re, im) half-spectra -> real [..., fft_size].
 
-  Inverse of the even/odd packing in matmul_rfft: re-tangle the hermitian
-  half spectrum into the HALF-size complex spectrum
-  Z[k] = Xe[k] + i e^{+2 pi i k/N} (X[k] - conj(X[H-k]))/2, inverse-
-  transform it with the forward four-step machinery
-  (ifft(Z) = conj(fft(conj(Z))) / H), and read the interleaved real
-  samples off the (re, im) pair.
+  Reconstructs the hermitian full spectrum and evaluates the inverse DFT
+  with the same four-step forward machinery on the conjugate
+  (ifft(X) = conj(fft(conj(X))) / N; the result is real by symmetry).
   """
-  half = fft_size // 2
-  x0r, x0i = yr[..., :half], yi[..., :half]
-  # conj(X[H - k]) for k = 0..H-1: bins H..1 flipped, imag negated.
-  xcr = yr[..., 1:][..., ::-1]
-  xci = -yi[..., 1:][..., ::-1]
-  xer = 0.5 * (x0r + xcr)
-  xei = 0.5 * (x0i + xci)
-  dr = 0.5 * (x0r - xcr)
-  di = 0.5 * (x0i - xci)
-  # Xo = e^{+2 pi i k/N} * d (conjugate of the forward pack weights).
-  wc, ws = _pack_weights(fft_size)
-  wr, wi = jnp.asarray(wc[:half]), jnp.asarray(ws[:half])
-  xor_ = dr * wr + di * wi
-  xoi = di * wr - dr * wi
-  # Z = Xe + i Xo; z = conj(fft(conj(Z))) / H; x[2n] = Re z, x[2n+1] = Im z.
-  zzr, zzi = _fft_core(xer - xoi, -(xei + xor_), half)
-  z = jnp.stack([zzr, -zzi], axis=-1) / half
-  return z.reshape(z.shape[:-2] + (fft_size,))
+  # Full spectrum: X[n - k] = conj(X[k]) for k = 1..n/2-1.
+  tail_r = yr[..., 1:-1][..., ::-1]
+  tail_i = -yi[..., 1:-1][..., ::-1]
+  full_r = jnp.concatenate([yr, tail_r], axis=-1)
+  full_i = jnp.concatenate([yi, tail_i], axis=-1)
+  # conj -> forward fft -> conj -> /N; real part (imag is ~0 by symmetry).
+  zr, _ = _fft_core(full_r, -full_i, fft_size)
+  return zr / fft_size
 
 
 def complex_multiply(ar, ai, br, bi):
