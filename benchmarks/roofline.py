@@ -34,6 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 HBM_GBS = 819e9
 MXU_F32 = 49e12
+MXU_BF16 = 197e12
 VPU_F32 = 3.9e12
 
 SR = 16000
@@ -70,13 +71,68 @@ def roofline_entry(name, seconds, flops, bytes_moved, compute_peak):
   }
 
 
-def analyze_harmonic(iters, batch=64, n_frames=1000, n_harmonics=100):
+def calibrate_vpu(iters):
+  """Measured per-element VPU throughput for the harmonic kernel's op mix.
+
+  The naive VPU bound (every op = 1 elementwise op at peak) is known to be
+  optimistic: the kernel's dominant instruction is a LANE-BROADCAST
+  multiply-accumulate (`taps[:, h:h+1] * s`), which costs ~2x a plain FMA
+  on this chip, and `sin` is a multi-op polynomial, not 1 op. These
+  microkernels measure the real per-element rates on [64, 128] tiles with
+  8 independent dependency streams (throughput, not latency), and the
+  harmonic roofline entry uses them for an honest achievable bound.
+  """
+  import jax, jax.numpy as jnp
+  from jax.experimental import pallas as pl
+
+  K, W, R, S = 64, 128, 256, 8
+
+  def make_kernel(op):
+    def kernel(a_ref, t_ref, o_ref):
+      a = a_ref[...]
+      t = t_ref[...]
+      accs = [a * (0.9 + 0.01 * j) for j in range(S)]
+      for i in range(R):
+        for j in range(S):
+          if op == 'fma':
+            accs[j] = accs[j] * 0.999 + a
+          elif op == 'bmac':
+            c = (i * S + j) % W
+            accs[j] = accs[j] + t[:, c:c + 1] * a
+          elif op == 'select':
+            accs[j] = jnp.where(t <= float((i * S + j) % W), 0.0,
+                                accs[j]) + a
+          elif op == 'sin':
+            accs[j] = jnp.sin(accs[j])
+      out = accs[0]
+      for j in range(1, S):
+        out = out + accs[j]
+      o_ref[...] = out
+    return kernel
+
+  rng = np.random.RandomState(0)
+  a = jnp.asarray(rng.rand(K, W).astype(np.float32))
+  t = jnp.asarray(rng.rand(K, W).astype(np.float32) * W)
+  rates = {}
+  for op in ('fma', 'bmac', 'select', 'sin'):
+    fn = jax.jit(lambda a, t, op=op: pl.pallas_call(
+        make_kernel(op),
+        out_shape=jax.ShapeDtypeStruct((K, W), jnp.float32))(a, t))
+    dt = _time(fn, (a, t), iters)
+    rates[op] = K * W * R * S / dt  # elements/s for that op
+  return rates
+
+
+def analyze_harmonic(iters, calib=None, batch=64, n_frames=1000,
+                     n_harmonics=100):
   """Fused Pallas harmonic synthesis, fwd: the canonical training shape.
 
-  Per sample per harmonic the kernel does ~6 VPU ops (mask select, P+1=3
-  MACs at hop 64 -> 6 flops, recurrence FMA = 2); plus 2 transcendentals
-  per sample. Bytes: phase + f0 read, audio written (3 x 4B/sample), plus
-  the tap amplitudes (n_taps x n_frames x 128 lanes x 4B per batch).
+  Per sample per harmonic the kernel does n_taps lane-broadcast MACs
+  (P+1 = 3 at hop 64), one select (nyquist mask), and one recurrence FMA;
+  plus 2 transcendentals and a divide per sample. With `calib` (measured
+  per-op rates from calibrate_vpu) the entry also reports a CALIBRATED
+  bound built from the real instruction costs - the honest target - next
+  to the naive all-ops-at-peak bound.
   """
   import jax, jax.numpy as jnp
   from ddsp_tpu.ops import oscillator
@@ -101,12 +157,27 @@ def analyze_harmonic(iters, batch=64, n_frames=1000, n_harmonics=100):
   fn = jax.jit(fused_only)
   dt = _time(fn, (f0_env, phase0, ham), iters)
 
+  hop = N_SAMPLES // n_frames
+  n_taps = (128 // np.gcd(hop, 128)) + 1 if hop % 128 else 2
   n = batch * N_SAMPLES
-  flops = n * (2 + n_harmonics * 8)  # 2 transcendentals + per-harmonic VPU mix
-  bytes_moved = 4 * (3 * n + batch * 3 * n_frames * 128)
-  return roofline_entry(
+  flops = n * (2 + n_harmonics * (2 * n_taps + 2))
+  bytes_moved = 4 * (3 * n + batch * n_taps * n_frames * 128)
+  entry = roofline_entry(
       f'pallas harmonic fwd b{batch} f{n_frames} h{n_harmonics}',
       dt, flops, bytes_moved, VPU_F32)
+  if calib:
+    # Honest bound: each (sample, harmonic) needs n_taps broadcast-MACs,
+    # one select, one recurrence FMA - at their MEASURED rates - plus the
+    # per-sample transcendentals. This is the achievable floor for this
+    # algorithm on this VPU, not the 1-op-per-element fiction.
+    t_cal = n * n_harmonics * (n_taps / calib['bmac'] +
+                               1.0 / calib['select'] +
+                               1.0 / calib['fma']) + n * 2.0 / calib['sin']
+    t_cal = max(t_cal, bytes_moved / HBM_GBS)
+    entry['calibrated_bound_seconds'] = t_cal
+    entry['achieved_fraction_of_calibrated_bound'] = t_cal / dt
+    entry['calibration_elements_per_s'] = {k: v for k, v in calib.items()}
+  return entry
 
 
 def analyze_fftconv(iters, batch=16, ir_size=48000):
@@ -134,6 +205,125 @@ def analyze_fftconv(iters, batch=16, ir_size=48000):
                              4 * 2 * (fft_size // 2 + 1))
   return roofline_entry(f'reverb fft_convolve b{batch} ir{ir_size}',
                         dt, flops, bytes_moved, VPU_F32)
+
+
+def analyze_gru(iters, batch=64, seq=1000, h_dim=512):
+  """Fused Pallas GRU, fwd+grad at the canonical decoder shape.
+
+  The recurrence is SEQUENTIAL: the bound is seq x the per-step cost, not
+  total-flops / peak. Per step the forward runs one [B, H] x [H, 3H] GEMM
+  (bf16 operands by default -> bf16 MXU rate) + ~10 VPU ops per hidden
+  element of gate math; the backward recomputes the step GEMM and adds
+  the dh-backprop and dwh-accumulation GEMMs (3 total) + ~2x gate math.
+  Streams: xp in (bf16), ys out (f32) forward; g/h_prev in, dxp out
+  backward. The bound charges MXU time + VPU gate time per step
+  (serialized, since each step's gates depend on its GEMM) and takes the
+  max with stream bandwidth.
+  """
+  import jax, jax.numpy as jnp
+  from ddsp_tpu.ops.pallas_kernels import fused_gru
+
+  rng = np.random.RandomState(0)
+  xp = jnp.asarray((rng.randn(batch, seq, 3 * h_dim) * 0.3)
+                   .astype(np.float32)).astype(jnp.bfloat16)
+  wh = jnp.asarray((rng.randn(h_dim, 3 * h_dim) / np.sqrt(h_dim))
+                   .astype(np.float32))
+  bn = jnp.asarray(rng.randn(h_dim).astype(np.float32) * 0.1)
+  h0 = jnp.zeros((batch, h_dim), jnp.float32)
+
+  def loss(xp, wh):
+    ys, hf = fused_gru(xp, wh, bn, h0, False)
+    return jnp.mean(ys**2) + jnp.mean(hf**2)
+
+  fn = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
+  dt = _time(fn, (xp, wh), iters)
+
+  gemm_flops_step = 2 * batch * h_dim * 3 * h_dim
+  gate_ops_step = batch * h_dim * 10
+  # fwd: 1 GEMM + gates; bwd: 3 GEMMs + ~2x gates. Serialized per step.
+  t_step = ((4 * gemm_flops_step) / MXU_BF16 +
+            (3 * gate_ops_step) / VPU_F32)
+  t_comp = seq * t_step
+  # Streams (fwd + bwd): xp twice (2B), ys + g + h_prev + dxp.
+  bytes_moved = seq * batch * h_dim * (2 * 2 * 3 + 4 * (1 + 1 + 1) +
+                                       2 * 3)
+  flops = seq * (4 * gemm_flops_step + 3 * gate_ops_step)
+  t_mem = bytes_moved / HBM_GBS
+  t_bound = max(t_comp, t_mem)
+  return {
+      'name': f'pallas fused GRU fwd+grad b{batch} t{seq} h{h_dim} bf16',
+      'seconds_per_step': dt,
+      'gflops': flops / 1e9,
+      'gbytes': bytes_moved / 1e9,
+      'bound': 'sequential-compute' if t_comp > t_mem else 'memory',
+      'speed_of_light_seconds': t_bound,
+      'achieved_fraction_of_bound': t_bound / dt,
+      'memory_time_seconds': t_mem,
+      'compute_time_seconds': t_comp,
+      'note': ('bound = seq x (per-step MXU + gate VPU time), the honest '
+               'sequential model; per-step instruction-issue latency is '
+               'NOT charged, so the bound is still optimistic.'),
+  }
+
+
+def analyze_decoder(iters, batch=64, seq=1000):
+  """Full RnnFcDecoder fwd+grad (the biggest slice of the train step).
+
+  Bound: all GEMMs (6 input-stack + hoisted GRU projection + 6 out-stack +
+  output head, x3 for fwd+grad) at the bf16 MXU rate, plus the fused-GRU
+  sequential term from analyze_gru's model, plus activation traffic.
+  """
+  import jax, jax.numpy as jnp
+  from ddsp_tpu import nn as dnn
+
+  decoder = dnn.RnnFcDecoder(
+      rnn_channels=512, rnn_type='gru', ch=512, layers_per_stack=3,
+      input_keys=('ld_scaled', 'f0_scaled'),
+      output_splits=(('amps', 1), ('harmonic_distribution', 60),
+                     ('noise_magnitudes', 65)))
+  rng = np.random.RandomState(0)
+  batch_in = {
+      'ld_scaled': jnp.asarray(rng.rand(batch, seq, 1).astype(np.float32)),
+      'f0_scaled': jnp.asarray(rng.rand(batch, seq, 1).astype(np.float32)),
+  }
+  params = decoder.init(jax.random.PRNGKey(0), batch_in)['params']
+
+  def loss(params, b):
+    out = decoder.apply({'params': params}, b)
+    return sum(jnp.mean(v**2) for v in out.values())
+
+  fn = jax.jit(jax.value_and_grad(loss))
+  dt = _time(fn, (params, batch_in), iters)
+
+  n = batch * seq
+  ch, h = 512, 512
+  # GEMM flops fwd: input stacks 2 x (1->512 + 512->512 x2), GRU hoist
+  # (1024->1536), out stack (512->512 x3... first 512+1024 concat->512),
+  # head (512->126). grad ~ 3x fwd GEMM flops.
+  fwd_gemm = n * 2 * (2 * (1 * ch + ch * ch * 2) + (2 * ch) * 3 * h +
+                      ((ch + 2 * ch) * ch + ch * ch * 2) + ch * 126)
+  gemm_flops = 3 * fwd_gemm
+  t_gemm = gemm_flops / MXU_BF16
+  # Sequential GRU term (same model as analyze_gru).
+  t_gru = seq * ((4 * 2 * batch * h * 3 * h) / MXU_BF16 +
+                 (3 * batch * h * 10) / VPU_F32)
+  # Activation traffic: ~2 bytes/elem per layer boundary, fwd+bwd.
+  bytes_moved = 2 * n * ch * (6 + 2 + 6 + 1) * 2 * 2
+  t_mem = bytes_moved / HBM_GBS
+  t_bound = max(t_gemm + t_gru, t_mem)
+  return {
+      'name': f'RnnFcDecoder fwd+grad b{batch} t{seq} (bf16 default)',
+      'seconds_per_step': dt,
+      'gflops': (gemm_flops + 3 * seq * batch * h * 10) / 1e9,
+      'gbytes': bytes_moved / 1e9,
+      'bound': 'compute',
+      'speed_of_light_seconds': t_bound,
+      'achieved_fraction_of_bound': t_bound / dt,
+      'memory_time_seconds': t_mem,
+      'compute_time_seconds': t_gemm + t_gru,
+      'note': ('bound = GEMMs at bf16 MXU peak + sequential fused-GRU '
+               'term + activation traffic.'),
+  }
 
 
 def analyze_spectral(iters, batch=16):
@@ -179,12 +369,17 @@ def main():
   args = parser.parse_args()
 
   import jax
+  calib = calibrate_vpu(args.iters)
   results = {
       'device': str(jax.devices()[0]),
       'peaks': {'hbm_gbs': HBM_GBS / 1e9, 'mxu_f32_tflops': MXU_F32 / 1e12,
+                'mxu_bf16_tflops': MXU_BF16 / 1e12,
                 'vpu_f32_tops': VPU_F32 / 1e12},
+      'vpu_calibration_elements_per_s': calib,
       'kernels': [
-          analyze_harmonic(args.iters),
+          analyze_harmonic(args.iters, calib),
+          analyze_gru(args.iters),
+          analyze_decoder(args.iters),
           analyze_fftconv(args.iters),
           analyze_spectral(args.iters),
       ],

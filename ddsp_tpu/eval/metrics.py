@@ -183,11 +183,10 @@ class F0Metrics(BaseMetrics):
 
 
 def crepe_weights_available(model_capacity: str = 'tiny') -> bool:
-  """True when pretrained CREPE weights exist ($CREPE_WEIGHTS_DIR)."""
-  import os  # pylint: disable=g-import-not-at-top
-  d = os.environ.get('CREPE_WEIGHTS_DIR', '')
-  return bool(d) and os.path.exists(
-      os.path.join(d, f'model-{model_capacity}.h5'))
+  """True when trained CREPE weights exist ($CREPE_WEIGHTS_DIR or the
+  repo's committed assets/crepe; see ops.crepe.default_weights_path)."""
+  from ddsp_tpu.ops import crepe  # pylint: disable=g-import-not-at-top
+  return crepe.default_weights_path(model_capacity) is not None
 
 
 def compute_f0_yin(audio: np.ndarray,

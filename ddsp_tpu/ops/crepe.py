@@ -31,6 +31,25 @@ CREPE_SAMPLE_RATE = 16000
 CREPE_FRAME_SIZE = 1024
 _N_BINS = 360
 
+
+def default_weights_path(model_capacity: str) -> Optional[str]:
+  """First model-<size>.h5 found: $CREPE_WEIGHTS_DIR, then the repo's
+  committed assets/crepe (weights trained in-env on synthetic harmonic
+  data by scripts/train_tiny_crepe.py - a working learned tracker for
+  clean harmonic material, NOT the published CREPE)."""
+  candidates = []
+  env_dir = os.environ.get('CREPE_WEIGHTS_DIR', '')
+  if env_dir:
+    candidates.append(env_dir)
+  candidates.append(os.path.join(
+      os.path.dirname(os.path.dirname(os.path.dirname(
+          os.path.abspath(__file__)))), 'assets', 'crepe'))
+  for d in candidates:
+    p = os.path.join(d, f'model-{model_capacity}.h5')
+    if os.path.exists(p):
+      return p
+  return None
+
 # Capacity multiplier per model size (public CREPE).
 _CAPACITIES = {'tiny': 4, 'small': 8, 'medium': 16, 'large': 24, 'full': 32}
 _FILTERS = (32, 4, 4, 4, 8, 16)
@@ -196,10 +215,7 @@ class PretrainedCrepe:
     self.model = CrepeModel(model_capacity=model_capacity)
 
     if weights_path is None:
-      default_dir = os.environ.get('CREPE_WEIGHTS_DIR', '')
-      candidate = os.path.join(default_dir, f'model-{model_capacity}.h5')
-      weights_path = candidate if default_dir and os.path.exists(
-          candidate) else None
+      weights_path = default_weights_path(model_capacity)
 
     if weights_path is not None:
       self.variables = load_weights_from_h5(weights_path, model_capacity)

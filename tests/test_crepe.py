@@ -1,9 +1,11 @@
 """Tests for the CREPE port: architecture shapes, f0 decode math, viterbi.
 
-Pretrained weights are unavailable offline, so numerical pitch accuracy is
-not testable; these tests pin the architecture contract (shapes, activation
-layers), the activations->f0 decode math (which is weight-independent), and
-the preprocessor plumbing.
+The published pip-package weights are unavailable offline, but the repo
+commits weights trained in-env on synthetic harmonic data
+(scripts/train_tiny_crepe.py -> assets/crepe/model-tiny.h5), so the
+weights-gated accuracy classes run with *learned* weights; the rest pins
+the architecture contract (shapes, activation layers), the
+activations->f0 decode math (weight-independent), and the plumbing.
 """
 
 import jax
@@ -108,8 +110,10 @@ class TestH5WeightImport:
     with pytest.raises(ValueError, match='capacity'):
       crepe.load_weights_from_h5(path, 'full')
 
-  def test_random_fallback_warns(self, caplog):
+  def test_random_fallback_warns(self, caplog, monkeypatch):
     import logging
+    # Simulate a weights-free environment (no env dir, no repo asset).
+    monkeypatch.setattr(crepe, 'default_weights_path', lambda *a: None)
     with caplog.at_level(logging.WARNING):
       model = crepe.PretrainedCrepe(model_capacity='tiny')
     assert not model.pretrained
@@ -117,12 +121,9 @@ class TestH5WeightImport:
 
 
 @pytest.mark.skipif(
-    not __import__('os').path.exists(
-        __import__('os').path.join(
-            __import__('os').environ.get('CREPE_WEIGHTS_DIR', '/nonexistent'),
-            'model-tiny.h5')),
-    reason='pretrained CREPE weights not available '
-           '(set $CREPE_WEIGHTS_DIR to enable)')
+    crepe.default_weights_path('tiny') is None,
+    reason='trained CREPE weights not available (set $CREPE_WEIGHTS_DIR or '
+           'commit assets/crepe/model-tiny.h5 via scripts/train_tiny_crepe.py)')
 class TestPretrainedPitchAccuracy:
 
   def test_sinusoid_within_20_cents(self):
@@ -181,7 +182,6 @@ class TestPretrainedCrepe:
 
   def test_predict_shapes(self):
     model = crepe.PretrainedCrepe(model_capacity='tiny', hop_size=160)
-    assert not model.pretrained  # no weights available offline
     audio = jnp.asarray(RNG.randn(2, 3200).astype(np.float32) * 0.1)
     f0, conf = model.predict_f0_and_confidence(audio, padding='center')
     # center padding (librosa-style): n_frames = 3200//160 + 1 = 21.
@@ -256,3 +256,34 @@ class TestCrepeEmbeddingLoss:
     np.testing.assert_allclose(float(same), 0.0, atol=1e-5)
     g = jax.grad(lambda a: loss_mod.apply(v, target, a))(audio)
     assert np.any(np.asarray(g) != 0)
+
+
+@pytest.mark.skipif(
+    crepe.default_weights_path('tiny') is None,
+    reason='trained CREPE weights not available')
+class TestCrepeEvalMetricsWithWeights:
+
+  def test_f0gen_crepe_rpa_on_held_out_tones(self):
+    """F0GenMetrics(estimator='crepe') reports RPA >= 0.9 on held-out
+    synthetic tones with the committed in-env-trained weights."""
+    from ddsp_tpu.eval import metrics as metrics_lib
+    sr, frame_rate, secs = 16000, 250, 1.0
+    t = np.arange(int(sr * secs)) / sr
+    tones = [233.1, 311.1, 466.2, 622.3]  # between training-grid pitches
+    audio = np.stack([
+        (0.6 * np.sin(2 * np.pi * hz * t) +
+         0.15 * np.sin(2 * np.pi * 2 * hz * t)).astype(np.float32)
+        for hz in tones])
+    from ddsp_tpu.ops import spectral
+    n_frames, _ = spectral.get_framed_lengths(audio.shape[1], 1024,
+                                              sr // frame_rate, 'center')
+    batch = {
+        'f0_hz': np.tile(np.asarray(tones, np.float32)[:, None],
+                         (1, n_frames)),
+        'f0_confidence': np.ones((len(tones), n_frames), np.float32),
+    }
+    m = metrics_lib.F0GenMetrics(sr, frame_rate, estimator='crepe')
+    m.update_state(batch, audio)
+    res = m.flush(step=0)
+    assert res['metrics/f0_crepe/raw_pitch_accuracy'] >= 0.9, res
+    assert res['metrics/f0_crepe/outlier_ratio'] == 0.0

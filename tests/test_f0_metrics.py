@@ -155,11 +155,21 @@ class TestF0GenMetrics:
 class TestF0LdEvaluatorAutoFallback:
 
   def test_auto_picks_yin_without_weights(self, monkeypatch):
-    monkeypatch.delenv('CREPE_WEIGHTS_DIR', raising=False)
+    # Simulate a weights-free environment (no env dir AND no committed
+    # assets/crepe file) - auto must fall back to the YIN tracker.
+    monkeypatch.setattr(metrics_lib, 'crepe_weights_available',
+                        lambda *a, **k: False)
     from ddsp_tpu.eval.evaluators import F0LdEvaluator
     ev = F0LdEvaluator(SR, FRAME_RATE)
     assert ev._f0_gen_metrics is not None
     assert ev._f0_gen_metrics._estimator == 'yin'
+
+  def test_auto_picks_crepe_with_weights(self, monkeypatch):
+    monkeypatch.setattr(metrics_lib, 'crepe_weights_available',
+                        lambda *a, **k: True)
+    from ddsp_tpu.eval.evaluators import F0LdEvaluator
+    ev = F0LdEvaluator(SR, FRAME_RATE)
+    assert ev._f0_gen_metrics._estimator == 'crepe'
 
   def test_run_f0_crepe_alias(self):
     from ddsp_tpu.eval.evaluators import F0LdEvaluator
