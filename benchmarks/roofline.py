@@ -1,4 +1,4 @@
-"""Roofline / MFU accounting for the three hot kernels on TPU v5e.
+"""Roofline / MFU accounting for the hot kernels on TPU v5e.
 
 VERDICT r1 correctly called out that "6173x a single-threaded TF-CPU
 baseline" proves nothing about distance from hardware limits. This script
@@ -8,16 +8,25 @@ and reports achieved fraction of the binding roofline (HBM bandwidth or
 compute). Results land in benchmarks/roofline.json and the table in
 docs/DESIGN.md is generated from them.
 
+Covered: the fused harmonic kernel (with a CALIBRATED bound from
+measured per-instruction VPU rates - see calibrate_vpu), the fused GRU
+and the full RnnFcDecoder (sequential-recurrence bounds), the reverb
+fft_convolve, and the multi-scale spectral loss - together >80% of the
+canonical batch-64 train step.
+
 v5e (TPU v5 lite) peaks used (public "How to Scale Your Model" /
 cloud.google.com numbers):
   HBM bandwidth  ~819 GB/s
   MXU bf16       ~197 TFLOP/s  (fp32 accumulate)
   MXU fp32       ~49 TFLOP/s   (fp32 inputs get ~1/4 the bf16 rate)
   VPU fp32       ~3.9 Tops/s   (8x128 lanes x 4 ALUs x ~0.94 GHz)
-Transcendentals (sin/cos) retire slower than 1 op/ALU/cycle; the VPU bound
-below counts them as 1 op, so VPU utilization numbers are conservative
-(an achieved fraction > 1.0 of the naive bound would mean the op mix is
-cheaper than modeled, not a measurement error).
+The naive datasheet VPU bound is a fiction for real op mixes: measured
+achievable rates on this chip (calibrate_vpu, XLA-fused chain slopes,
+cross-checked against the production kernel's component deltas) are
+~0.35-0.56 T elem/s for MAC-type chains and ~16 G elem/s for sin - the
+harmonic entry reports achieved fraction of BOTH the naive and the
+calibrated bound. Calibration rates drift ~20% between sessions through
+the shared tunnel; treat the calibrated fraction accordingly.
 
 Usage: python benchmarks/roofline.py [--iters 30]
 """
@@ -75,51 +84,52 @@ def calibrate_vpu(iters):
   """Measured per-element VPU throughput for the harmonic kernel's op mix.
 
   The naive VPU bound (every op = 1 elementwise op at peak) is known to be
-  optimistic: the kernel's dominant instruction is a LANE-BROADCAST
-  multiply-accumulate (`taps[:, h:h+1] * s`), which costs ~2x a plain FMA
-  on this chip, and `sin` is a multi-op polynomial, not 1 op. These
-  microkernels measure the real per-element rates on [64, 128] tiles with
-  8 independent dependency streams (throughput, not latency), and the
-  harmonic roofline entry uses them for an honest achievable bound.
+  optimistic: MAC-type chains measure ~0.35-0.56 T elem/s on this chip
+  (well below the 1.95 T elem/s datasheet FMA rate), and `sin` is a
+  multi-op polynomial at ~16 G elem/s, not 1 op.
+
+  Methodology: time an XLA-fused chain of the op at two chain lengths on
+  a VMEM-friendly [8192, 128] array and take the SLOPE - differencing
+  removes the HBM stream and (tunnel) dispatch overhead that dominates
+  any single short kernel on this box. Tiny dependency-chained Pallas
+  microkernels were tried first and measured the ~0.9 ms per-call tunnel
+  dispatch floor instead of the ALU; the slope method reproduces the
+  rates implied by the production kernel's component deltas.
   """
   import jax, jax.numpy as jnp
-  from jax.experimental import pallas as pl
-
-  K, W, R, S = 64, 128, 256, 8
-
-  def make_kernel(op):
-    def kernel(a_ref, t_ref, o_ref):
-      a = a_ref[...]
-      t = t_ref[...]
-      accs = [a * (0.9 + 0.01 * j) for j in range(S)]
-      for i in range(R):
-        for j in range(S):
-          if op == 'fma':
-            accs[j] = accs[j] * 0.999 + a
-          elif op == 'bmac':
-            c = (i * S + j) % W
-            accs[j] = accs[j] + t[:, c:c + 1] * a
-          elif op == 'select':
-            accs[j] = jnp.where(t <= float((i * S + j) % W), 0.0,
-                                accs[j]) + a
-          elif op == 'sin':
-            accs[j] = jnp.sin(accs[j])
-      out = accs[0]
-      for j in range(1, S):
-        out = out + accs[j]
-      o_ref[...] = out
-    return kernel
 
   rng = np.random.RandomState(0)
-  a = jnp.asarray(rng.rand(K, W).astype(np.float32))
-  t = jnp.asarray(rng.rand(K, W).astype(np.float32) * W)
+  a = jnp.asarray(rng.rand(65536, 128).astype(np.float32))
+  t = jnp.asarray(rng.rand(65536, 128).astype(np.float32) * 100)
+
+  def chain(op, length):
+    # Serial recurrences with ARRAY coefficients: a constant-coefficient
+    # chain (y = y * 0.999 + a) gets algebraically collapsed by XLA and
+    # times as zero ops.
+    def f(a, t):
+      y = a
+      for i in range(length):
+        if op == 'fma':
+          # Distinct constant per step: an L-step chain of IDENTICAL
+          # y * a + t expressions gets strength-reduced by XLA.
+          y = y * a + float(1.0 + 1e-3 * i)
+        elif op == 'bmac':
+          # The harmonic kernel's dominant instruction: lane-broadcast
+          # multiply folded into an accumulate.
+          y = y * t[:, (i % 64):(i % 64) + 1] + a
+        elif op == 'select':
+          y = jnp.where(t <= float(i % 100), 0.0, y)
+        elif op == 'sin':
+          y = jnp.sin(y)
+      return y
+    return jax.jit(f)
+
+  l1, l2 = 32, 288
   rates = {}
   for op in ('fma', 'bmac', 'select', 'sin'):
-    fn = jax.jit(lambda a, t, op=op: pl.pallas_call(
-        make_kernel(op),
-        out_shape=jax.ShapeDtypeStruct((K, W), jnp.float32))(a, t))
-    dt = _time(fn, (a, t), iters)
-    rates[op] = K * W * R * S / dt  # elements/s for that op
+    d1 = _time(chain(op, l1), (a, t), iters)
+    d2 = _time(chain(op, l2), (a, t), iters)
+    rates[op] = a.size * (l2 - l1) / max(d2 - d1, 1e-9)
   return rates
 
 

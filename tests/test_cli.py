@@ -42,13 +42,16 @@ def test_train_eval_sample_round_trip(tmp_path):
   r = _run(['--mode', 'eval', '--run_once', '--num_eval_batches', '1']
            + spec_only)
   assert r.returncode == 0, r.stderr[-2000:]
-  # Pitch metrics must be REAL without CREPE weights: the YIN fallback
-  # reports f0 metrics of the generated audio in eval/metrics.jsonl.
+  # Pitch metrics must be REAL: with the repo's committed trained CREPE
+  # asset the evaluator auto-selects 'crepe'; in a weights-free env it
+  # falls back to YIN - either way RPA of the generated audio must be in
+  # eval/metrics.jsonl.
   eval_metrics_file = os.path.join(save_dir, 'eval', 'metrics.jsonl')
   assert os.path.exists(eval_metrics_file)
   eval_metrics = json.loads(
       open(eval_metrics_file).read().strip().split('\n')[-1])
-  assert 'metrics/f0_yin/raw_pitch_accuracy' in eval_metrics, eval_metrics
+  assert ('metrics/f0_crepe/raw_pitch_accuracy' in eval_metrics or
+          'metrics/f0_yin/raw_pitch_accuracy' in eval_metrics), eval_metrics
   assert 'metrics/loudness/loudness_db_l1' in eval_metrics
 
   r = _run(['--mode', 'sample', '--run_once', '--num_eval_batches', '1']
