@@ -107,8 +107,10 @@ def test_fastgru_uses_kernel_when_forced():
   from ddsp_tpu.nn import layers as L
   rng = np.random.RandomState(5)
   x = jnp.asarray(rng.randn(8, 16, 64).astype(np.float32) * 0.3)
-  m_scan = L.FastGRU(128, use_pallas=False)
-  m_pal = L.FastGRU(128, use_pallas=True)
+  # Exact equality is an f32-mode contract (the bf16 default is covered
+  # by the tolerance tests below).
+  m_scan = L.FastGRU(128, use_pallas=False, compute_dtype='float32')
+  m_pal = L.FastGRU(128, use_pallas=True, compute_dtype='float32')
   v = m_scan.init(jax.random.PRNGKey(0), x)
   y_scan = np.asarray(m_scan.apply(v, x))
   y_pal = np.asarray(m_pal.apply(v, x))
@@ -128,8 +130,8 @@ def test_fastgru_pads_off_sublane_batch(b):
   from ddsp_tpu.nn import layers as L
   rng = np.random.RandomState(11)
   x = jnp.asarray(rng.randn(b, 16, 64).astype(np.float32) * 0.3)
-  m_scan = L.FastGRU(128, use_pallas=False)
-  m_pal = L.FastGRU(128, use_pallas=True)
+  m_scan = L.FastGRU(128, use_pallas=False, compute_dtype='float32')
+  m_pal = L.FastGRU(128, use_pallas=True, compute_dtype='float32')
   v = m_scan.init(jax.random.PRNGKey(0), x)
   y_pal, hf_pal = m_pal.apply(v, x, return_state=True)
   y_scan, hf_scan = m_scan.apply(v, x, return_state=True)
