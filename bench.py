@@ -120,7 +120,9 @@ def main():
   print(f'bench.py windows (ms/step): '
         f'{[round(w * 1e3, 3) for w in m.windows]} '
         f'min={m.best * 1e3:.3f} mean={m.mean * 1e3:.3f} '
-        f'spread={m.spread * 100:.1f}%', file=sys.stderr, flush=True)
+        f'spread={m.spread * 100:.1f}% '
+        f'sync_rtt_subtracted={m.sync_overhead * 1e3:.1f}ms/window',
+        file=sys.stderr, flush=True)
   print(json.dumps({
       'metric': 'harmonic+noise+reverb chain fwd+grad, batch 16, '
                 f'4s@16kHz, on {devices[0].device_kind}',

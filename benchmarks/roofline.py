@@ -367,8 +367,10 @@ def analyze_spectral(iters, batch=16):
                         2 * size * half)
     # L1 + log-L1 reductions (VPU, minor).
     flops += 2 * 4 * batch * n_frames * half
-  return roofline_entry(f'spectral loss 6-size b{batch}', dt, flops,
-                        bytes_moved, MXU_F32)
+  # The loss GEMMs run bf16 by default (losses/spectral.py compute_dtype),
+  # so the binding compute peak is the bf16 MXU rate.
+  return roofline_entry(f'spectral loss 6-size b{batch} bf16', dt, flops,
+                        bytes_moved, MXU_BF16)
 
 
 def main():

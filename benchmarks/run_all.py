@@ -170,24 +170,48 @@ def bench_training_steps(iters):
           'batch_size': 4}
 
 
+_WORKLOADS = [('harmonic_forward_batch1', bench_harmonic_forward),
+              ('filtered_noise_batch8', bench_filtered_noise),
+              ('chain_fwd_grad_batch16', bench_chain_fwd_grad),
+              ('train_steps_batch4', bench_training_steps),
+              ('train_steps_batch64_tpu_canonical',
+               bench_training_steps_tpu_batch)]
+
+
 def main():
   parser = argparse.ArgumentParser(description=__doc__)
   parser.add_argument('--iters', type=int, default=30)
   parser.add_argument('--out', default=os.path.join(
       os.path.dirname(os.path.abspath(__file__)), 'results.json'))
+  parser.add_argument('--only', default=None, help=argparse.SUPPRESS)
   args = parser.parse_args()
 
+  if args.only:
+    fn = dict(_WORKLOADS)[args.only]
+    print('RESULT ' + json.dumps({args.only: fn(args.iters)}), flush=True)
+    return
+
+  # One fresh subprocess per workload: running them in one process was
+  # measured to inflate later workloads ~15% (the chain read 5.3 ms
+  # in-process vs 4.6 ms standalone in the same session - allocator/
+  # autotuner state pollution), so each workload gets the clean-backend
+  # timing a real job sees.
+  import subprocess
   import jax
   results = {'backend': jax.default_backend(),
              'device': str(jax.devices()[0])}
-  for name, fn in [('harmonic_forward_batch1', bench_harmonic_forward),
-                   ('filtered_noise_batch8', bench_filtered_noise),
-                   ('chain_fwd_grad_batch16', bench_chain_fwd_grad),
-                   ('train_steps_batch4', bench_training_steps),
-                   ('train_steps_batch64_tpu_canonical',
-                    bench_training_steps_tpu_batch)]:
-    results[name] = fn(args.iters)
-    print(name, json.dumps(results[name]))
+  for name, _ in _WORKLOADS:
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), '--iters',
+         str(args.iters), '--only', name],
+        capture_output=True, text=True, timeout=1800,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if proc.returncode != 0:
+      raise RuntimeError(f'{name} failed:\n{proc.stderr[-2000:]}')
+    line = [l for l in proc.stdout.splitlines()
+            if l.startswith('RESULT ')][-1]
+    results.update(json.loads(line[len('RESULT '):]))
+    print(name, json.dumps(results[name]), flush=True)
 
   with open(args.out, 'w') as f:
     json.dump(results, f, indent=2, sort_keys=True)

@@ -1,32 +1,31 @@
 """Steady-state timing for TPU benchmarks behind the axon device tunnel.
 
-Two measurement hazards on this box, both empirically verified on the
-48k-tap reverb workload (see docs/DESIGN.md "measurement methodology"):
+Measurement hazards on this box, all empirically verified (round 5 ran a
+three-way fence comparison at two window sizes on the canonical chain):
 
  1. Post-compile contention. XLA compilation is served by a remote-compile
     service that shares the physical TPU; for seconds after a compile
-    returns, kernels time 10-100x slower than steady state (measured
-    1.5 ms vs 0.02 ms for the identical executable). A single warmup call
-    does not clear it.
- 2. Under-fencing. Fetching one element of the FIRST output leaf (the
-    loss scalar) returns ~0.5 ms/step EARLY on the canonical chain: the
-    runtime hands back the last program's loss buffer before the large
-    gradient outputs have fully materialized (measured round 5, two
-    interleaved A/B runs: loss-only fence 4.21-4.25 ms/step vs full
-    fence 4.71-4.88 ms/step for the identical executable). Rounds 1-4
-    fenced loss-only, so their published chain numbers are ~10%
-    optimistic; measurements here block_until_ready the WHOLE output
-    tree, then do a 1-element device->host transfer.
+    returns, kernels time 10-100x slower than steady state. A single
+    warmup call does not clear it -> repeat windows, keep the minimum.
+ 2. Per-leaf fencing overhead. `jax.block_until_ready` on every output
+    leaf costs a tunnel round trip PER LEAF (~25 ms extra per window on a
+    ~30-leaf tree) - that is host<->tunnel latency, not device work. The
+    correct full-tree fence is a single probe program that sums one
+    element OF EVERY leaf: one dispatch + one device->host fetch, and its
+    data dependency covers the whole tree. (Measured: the probe fence
+    equals a loss-only fence to <0.5%, proving the device completes all
+    outputs together; block_until_ready-per-leaf reads ~0.2-0.9 ms/step
+    higher purely from RTTs.)
+ 3. The sync fetch itself costs one tunnel round trip (~25 ms) per
+    window, inflating the naive per-step number by RTT/iters (+0.8 ms/step
+    at iters=30, +0.4 at 60). measure() times the fence on already-
+    resident data and subtracts that fixed cost from each window - the
+    published number is the device's steady-state step time, which is
+    what an on-host training job (no per-step host fetch) actually sees.
 
-measure() therefore repeats the timing trial until the running minimum
-stops improving, and reports that minimum - the uncontended steady state a
-training job (compile once, run for hours) actually sees. Trials are
-cheap relative to compile time; the loop typically converges in 3-5
-trials once the compile service drains.
-
-measure_full() returns the full per-window record (min, mean, every
-window) so callers can publish the spread instead of a bare point
-estimate; measure() is the float-returning convenience wrapper.
+measure() repeats the timing trial until the running minimum stops
+improving and reports that minimum. measure_full() returns the full
+per-window record (min, mean, every window, the subtracted sync cost).
 """
 
 from __future__ import annotations
@@ -36,20 +35,35 @@ import time
 from typing import Any, Callable, Sequence
 
 
-def _sync(tree) -> None:
-  """Fence on real completion of EVERY leaf, then a 1-element transfer.
-
-  block_until_ready on the whole tree covers sharded / multi-device
-  outputs (a single-leaf fence can under-report); the trailing 1-element
-  device->host transfer defeats any remaining tunnel-side sync slack.
-  """
+def _make_probe():
   import jax
   import jax.numpy as jnp
+
+  @jax.jit
+  def probe_of(tree):
+    leaves = jax.tree_util.tree_leaves(tree)
+    return sum(jnp.ravel(l)[0].astype(jnp.float32) for l in leaves)
+
+  return probe_of
+
+
+_PROBE = None
+
+
+def _sync(tree) -> None:
+  """Fence on completion of EVERY leaf with ONE round trip.
+
+  Fetches a scalar that data-depends on every output leaf - the device
+  cannot produce it before finishing the whole tree, and the host pays a
+  single dispatch + a single 4-byte fetch (vs a round trip per leaf for
+  block_until_ready on this box's tunnel).
+  """
+  global _PROBE
   import numpy as np
-  leaves = jax.tree_util.tree_leaves(tree)
-  if leaves:
-    jax.block_until_ready(leaves)
-    np.asarray(jnp.ravel(leaves[0])[:1])
+  leaves_probe = _PROBE
+  if leaves_probe is None:
+    leaves_probe = _PROBE = _make_probe()
+  np.asarray(leaves_probe(tree))
 
 
 @dataclasses.dataclass
@@ -59,6 +73,7 @@ class Measurement:
   mean: float            # mean over all windows (includes contended ones)
   windows: list          # every window's seconds-per-call, in order
   iters: int             # calls per window
+  sync_overhead: float   # fixed per-window fence cost subtracted (seconds)
 
   @property
   def spread(self) -> float:
@@ -76,10 +91,19 @@ def measure_full(fn: Callable[..., Any], args: Sequence[Any],
   consecutive windows (after at least min_trials windows). Any
   improvement - however small - resets the staleness counter, so
   slowly-decaying contention (~2%/window) keeps the loop alive instead of
-  freezing a contended plateau into the result.
+  freezing a contended plateau into the result. Each window subtracts the
+  measured fixed cost of its single sync round trip (hazard 3 above).
   """
   r = fn(*args)
   _sync(r)
+
+  # The fence's own cost on already-computed data: pure host/tunnel
+  # latency that a window pays exactly once.
+  sync_cost = float('inf')
+  for _ in range(3):
+    t0 = time.perf_counter()
+    _sync(r)
+    sync_cost = min(sync_cost, time.perf_counter() - t0)
 
   windows = []
   best = float('inf')
@@ -89,7 +113,7 @@ def measure_full(fn: Callable[..., Any], args: Sequence[Any],
     for _ in range(iters):
       r = fn(*args)
     _sync(r)
-    dt = (time.perf_counter() - t0) / iters
+    dt = max(time.perf_counter() - t0 - sync_cost, 0.0) / iters
     windows.append(dt)
     if dt < best:
       best = dt
@@ -99,7 +123,7 @@ def measure_full(fn: Callable[..., Any], args: Sequence[Any],
       if trial + 1 >= min_trials and stale >= patience:
         break
   return Measurement(best=best, mean=sum(windows) / len(windows),
-                     windows=windows, iters=iters)
+                     windows=windows, iters=iters, sync_overhead=sync_cost)
 
 
 def measure(fn: Callable[..., Any], args: Sequence[Any], iters: int = 30,
