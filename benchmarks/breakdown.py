@@ -28,6 +28,8 @@ def main():
   parser = argparse.ArgumentParser(description=__doc__)
   parser.add_argument('--batch', type=int, default=64)
   parser.add_argument('--iters', type=int, default=30)
+  parser.add_argument('--out', default=os.path.join(
+      os.path.dirname(os.path.abspath(__file__)), 'breakdown.json'))
   args = parser.parse_args()
 
   import jax
@@ -143,7 +145,11 @@ def main():
         f'(compile {compile_s:.1f}s)', flush=True)
   del state2
 
-  print(json.dumps({k: round(v, 6) for k, v in results.items()}))
+  summary = {k: round(v, 6) for k, v in results.items()}
+  print(json.dumps(summary))
+  with open(args.out, 'w') as f:
+    json.dump(summary, f, indent=2, sort_keys=True)
+  print('Wrote', args.out)
 
 
 if __name__ == '__main__':
