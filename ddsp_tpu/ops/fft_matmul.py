@@ -173,29 +173,44 @@ def complex_multiply(ar, ai, br, bi):
 
 
 @functools.lru_cache(maxsize=None)
-def _dft_half_matrices(size: int, fft_size: int):
+def _dft_half_matrices(size: int, fft_size: int, hann: bool = False):
   """[size, fft_size//2+1] half-spectrum DFT matrices (cos, sin pair).
 
   Equivalent to rfft of a size-point frame zero-padded to fft_size,
-  evaluated as one GEMM (for magnitude-only STFTs in losses).
+  evaluated as one GEMM (for magnitude-only STFTs in losses). hann=True
+  folds a periodic hann window into the matrix rows (diag(w) @ D), so the
+  STFT needs NO separate windowing pass over the frame tensor - XLA does
+  not fuse elementwise producers into dot operands, so the explicit
+  multiply costs a full read+write of the frames in HBM.
   """
   k = np.arange(size)[:, None] * np.arange(fft_size // 2 + 1)[None, :]
   ang = -2.0 * np.pi * k / fft_size
-  return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+  c = np.cos(ang)
+  s = np.sin(ang)
+  if hann:
+    # Same semantics as fftconv.hann_window (tf.signal periodic hann:
+    # denominator N for even sizes, N-1 for odd).
+    denom = size if size % 2 == 0 else size - 1
+    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(size) / max(denom, 1))
+    c = w[:, None] * c
+    s = w[:, None] * s
+  return (c.astype(np.float32), s.astype(np.float32))
 
 
 def matmul_stft_mag(frames: Array, fft_size: int,
-                    compute_dtype: str = 'float32') -> Array:
+                    compute_dtype: str = 'float32',
+                    hann: bool = False) -> Array:
   """|rfft(frames, fft_size)| via one MXU GEMM per (cos, sin).
 
-  frames: [..., frame_size] windowed frames. Returns
+  frames: [..., frame_size] frames (pre-windowed, or raw with hann=True
+  to fold the periodic hann window into the DFT matrices). Returns
   [..., fft_size//2 + 1] magnitudes. ~2x faster than XLA's TPU FFT for the
   multi-scale spectral loss at training sizes, and never materializes
   complex intermediates. compute_dtype='bfloat16' runs the DFT GEMMs on
   the MXU bf16 path with float32 accumulation (~1.4x again; magnitudes
   within ~0.2% relative - fine for training losses, not for goldens).
   """
-  c, s = _dft_half_matrices(frames.shape[-1], fft_size)
+  c, s = _dft_half_matrices(frames.shape[-1], fft_size, hann=hann)
   dt = jnp.dtype(compute_dtype)
   if dt != jnp.float32:
     dn = (((frames.ndim - 1,), (0,)), ((), ()))
@@ -300,14 +315,17 @@ def matmul_filter_design(magnitudes: Array, window_size: int,
 
 @functools.lru_cache(maxsize=None)
 def _weighted_power_matrix(frame_size: int, fft_size: int,
-                           weights: tuple):
+                           weights: tuple, hann: bool = False):
   """Q [frame, frame] with sum_k w_k |rfft(f)_k|^2 == f @ Q @ f.
 
   The spectral reduction in A-weighted loudness is a fixed quadratic form
   of the (windowed) frame: |X_k|^2 = (f.C_k)^2 + (f.S_k)^2, so the
   weighted bin sum collapses to Q = C diag(w) C^T + S diag(w) S^T - one
   MXU GEMM + an elementwise multiply-reduce per frame instead of
-  thousands of small FFTs. Built in float64, returned float32.
+  thousands of small FFTs. hann=True additionally folds the periodic hann
+  analysis window into the form (Q' = diag(h) Q diag(h)), so the caller
+  never materializes a windowed copy of the frame tensor. Built in
+  float64, returned float32.
   """
   k = np.arange(frame_size)[:, None] * np.arange(fft_size // 2 + 1)[None, :]
   ang = -2.0 * np.pi * k / fft_size
@@ -315,17 +333,23 @@ def _weighted_power_matrix(frame_size: int, fft_size: int,
   s = np.sin(ang)
   w = np.asarray(weights, np.float64)
   q = (c * w) @ c.T + (s * w) @ s.T
+  if hann:
+    denom = frame_size if frame_size % 2 == 0 else frame_size - 1
+    h = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(frame_size)
+                           / max(denom, 1))
+    q = h[:, None] * q * h[None, :]
   return q.astype(np.float32)
 
 
 def matmul_weighted_power(frames: Array, fft_size: int,
-                          weights: tuple) -> Array:
+                          weights: tuple, hann: bool = False) -> Array:
   """sum_k weights[k] * |rfft(frames, fft_size)[..., k]|^2 via one GEMM.
 
-  frames: [..., frame_size] (already windowed). Returns [...].
+  frames: [..., frame_size] (pre-windowed, or raw with hann=True to fold
+  the periodic hann window into the quadratic form). Returns [...].
   """
   q = jnp.asarray(_weighted_power_matrix(frames.shape[-1], fft_size,
-                                         tuple(weights)))
+                                         tuple(weights), hann=hann))
   return jnp.sum(_einsum('...s,st->...t', frames, q) * frames, axis=-1)
 
 

@@ -161,9 +161,13 @@ def compute_mag(audio: Array,
     hop_size = int(size * (1.0 - overlap))
     fft_size = int(2**np.ceil(np.log2(size)))
     frames = fftconv.frame(audio, size, hop_size, pad_end=pad_end)
-    frames = frames * fftconv.hann_window(size)
+    # The hann window rides inside the DFT matrices (diag(w) @ D): the
+    # explicit frames * window pass costs a full HBM read+write of the
+    # frame tensor per size per signal (~2 ms/step at the canonical
+    # batch-64 loss) that XLA cannot fuse into the GEMM.
     mags = fft_matmul.matmul_stft_mag(frames, fft_size,
-                                      compute_dtype=compute_dtype)
+                                      compute_dtype=compute_dtype,
+                                      hann=True)
     # Same rank contract as the FFT branch: 1-D audio -> [n_frames, bins].
     return mags[0] if is_1d else mags
   mag = jnp.abs(stft(audio, frame_size=size, overlap=overlap,
@@ -393,9 +397,11 @@ def compute_loudness(audio: Array,
     # canonical batch-64 preprocessor; see fft_matmul).
     from ddsp_tpu.ops import fft_matmul  # pylint: disable=g-import-not-at-top
     frames = fftconv.frame(audio, frame_size, hop_size, pad_end=False)
-    frames = frames * fftconv.hann_window(frame_size)
+    # The hann window is folded into the quadratic form
+    # (diag(h) Q diag(h)) - no windowed copy of the frame tensor.
     avg_power = fft_matmul.matmul_weighted_power(
-        frames, fft_size, tuple(np.ravel(weighting).tolist())) / n_bins
+        frames, fft_size, tuple(np.ravel(weighting).tolist()),
+        hann=True) / n_bins
   else:
     overlap = 1 - hop_size / frame_size
     s = stft(audio, frame_size=frame_size, overlap=overlap, pad_end=False)
