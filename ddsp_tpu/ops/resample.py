@@ -54,6 +54,31 @@ def _interp_linear(x: Array, n_out: int, align_corners: bool) -> Array:
   frac = (src - lo).astype(np.float32)
   lo = np.clip(lo, 0, n_in - 1)
   hi = np.clip(lo + 1, 0, n_in - 1)
+
+  # Integer-ratio upsampling (the audio-rate envelope case): when the
+  # gather indices form regular hop blocks (lo == i over block i, hi ==
+  # i+1 held at the end), build the output as broadcast segments instead
+  # of gathers. Bit-identical values (same precomputed frac), but the
+  # backward is a per-block reduction instead of a scatter-add - measured
+  # 1.53 -> ~0.2 ms fwd+bwd for the [16, 250] -> [16, 64000] f0 envelope
+  # on v5e (the scatter dominated the whole harmonic-processor backward).
+  if n_out % n_in == 0 and n_out > n_in:
+    hop = n_out // n_in
+    lo_blocks = lo.reshape(n_in, hop)
+    hi_blocks = hi.reshape(n_in, hop)
+    regular = (np.all(lo_blocks == np.arange(n_in)[:, None]) and
+               np.all(hi_blocks == np.minimum(np.arange(n_in) + 1,
+                                              n_in - 1)[:, None]))
+    if regular:
+      ext = jnp.concatenate([x, x[:, -1:]], axis=1)
+      x_lo = ext[:, :-1]  # [batch, n_in, ...]
+      x_hi = ext[:, 1:]
+      w = jnp.asarray(frac.reshape(n_in, hop)).reshape(
+          (1, n_in, hop) + (1,) * (x.ndim - 2))
+      seg = (x_lo[:, :, jnp.newaxis] * (1.0 - w) +
+             x_hi[:, :, jnp.newaxis] * w)
+      return seg.reshape((x.shape[0], n_out) + x.shape[2:])
+
   x_lo = jnp.take(x, jnp.asarray(lo.astype(np.int32)), axis=1)
   x_hi = jnp.take(x, jnp.asarray(hi.astype(np.int32)), axis=1)
   frac = jnp.asarray(frac).reshape((1, n_out) + (1,) * (x.ndim - 2))
