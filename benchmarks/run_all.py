@@ -38,6 +38,10 @@ def _time(fn, args, iters):
 
 
 def bench_harmonic_forward(iters):
+  # Sub-millisecond workload: the per-window sync RTT (~25 ms) dwarfs a
+  # 30-call window, so the subtracted estimate gets noisy - use long
+  # windows to keep the fixed cost <5% of the window.
+  iters = max(iters, 300)
   import jax, jax.numpy as jnp
   from ddsp_tpu import ops
   rng = np.random.RandomState(0)
@@ -51,6 +55,7 @@ def bench_harmonic_forward(iters):
 
 
 def bench_filtered_noise(iters):
+  iters = max(iters, 300)  # sub-ms workload; see bench_harmonic_forward.
   import jax, jax.numpy as jnp
   from ddsp_tpu import ops
   rng = np.random.RandomState(0)
