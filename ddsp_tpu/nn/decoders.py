@@ -94,6 +94,14 @@ class RnnFcDecoder(nn_layers.DictModule):
       x, new_state = self.rnn(x, state)
     else:
       x = self.rnn(x)
+    dt = jnp.dtype(self.compute_dtype)
+    if dt != jnp.float32:
+      # The RNN emits float32; concatenating it with the bf16 stack
+      # outputs would promote the whole [B, T, 3ch] skip tensor to f32.
+      # The out-stack's first Dense casts its input to bf16 regardless,
+      # so casting before the concat is bit-identical downstream and
+      # halves the HBM traffic of this materialization (fwd and bwd).
+      x = x.astype(dt)
     x = jnp.concatenate(inputs + [x], axis=-1)
 
     # Final processing.

@@ -175,7 +175,10 @@ def _bwd_kernel(g_ref, xp_ref, hprev_ref, wh_ref, bn_ref,
   dh = dh_scratch[...]
   for j in reversed(range(block_t)):
     xp_t = xp_ref[j].astype(jnp.float32)
-    h_prev = hprev_ref[j]
+    # In bf16 mode h_prev streams at bf16: both GEMM consumers cast it to
+    # the stream dtype anyway, so only the elementwise (h_prev - n) term
+    # sees the rounding - covered by the bf16 tolerance tests.
+    h_prev = hprev_ref[j].astype(jnp.float32)
     hp = jnp.dot(h_prev.astype(wh.dtype), wh,
                  preferred_element_type=jnp.float32)
     r, z, n = _gates(xp_t, hp, bn, h_dim)
@@ -254,6 +257,7 @@ def _pallas_gru_bwd(g_t_major, xp_t_major, hprev_t_major, wh, bn2, *,
       in_specs=[
           pl.BlockSpec((block_t, batch, h_dim), rev),
           pl.BlockSpec((block_t, batch, three_h), rev),
+          # h_prev streams at its array's dtype (bf16 in mixed mode).
           pl.BlockSpec((block_t, batch, h_dim), rev),
           pl.BlockSpec((h_dim, three_h), lambda i: (0, 0)),
           pl.BlockSpec((1, h_dim), lambda i: (0, 0)),
@@ -298,7 +302,7 @@ def fused_gru(xp: Array, wh: Array, bn: Array, h0: Array,
     (ys, h_final): hidden states [batch, time, H] and final carry
     [batch, H], always float32.
   """
-  ys, _ = _run_fwd(xp, wh, bn, h0, interpret)
+  ys, _, _ = _run_fwd(xp, wh, bn, h0, interpret)
   return ys, ys[:, -1, :]
 
 
@@ -312,34 +316,39 @@ def _run_fwd(xp, wh, bn, h0, interpret):
                                bn.reshape(1, -1), block_t=block_t,
                                interpret=interpret)
   ys = jnp.swapaxes(ys_t_major, 0, 1)
-  return ys, ys_t_major
+  return ys, ys_t_major, xp_t_major
 
 
 def _fused_gru_fwd(xp, wh, bn, h0, interpret):
-  ys, ys_t_major = _run_fwd(xp, wh, bn, h0, interpret)
-  return (ys, ys[:, -1, :]), (xp, wh, bn, h0, ys_t_major)
+  # Residuals keep the TIME-MAJOR xp (the backward streams time blocks):
+  # saving the layout the kernel consumes avoids re-transposing ~100 MB
+  # at canonical decoder shapes.
+  ys, ys_t_major, xp_t_major = _run_fwd(xp, wh, bn, h0, interpret)
+  return (ys, ys[:, -1, :]), (xp_t_major, wh, bn, h0, ys_t_major)
 
 
 def _fused_gru_bwd(interpret, residuals, cotangents):
-  xp, wh, bn, h0, ys_t_major = residuals
+  xp_t_major, wh, bn, h0, ys_t_major = residuals
   g_ys, g_hfinal = cotangents
-  sdt = _stream_dtype(xp.dtype)
+  sdt = _stream_dtype(xp_t_major.dtype)
   # The backward streams four block arrays (g, xp, h_prev, dxp) plus the
   # resident wh and the dwh accumulator; block_t 8 overflows the 16 MB
   # scoped VMEM at the canonical H=512/B=64 shape, 4 fits — and larger
   # batches shrink block_t further to stay inside the budget.
-  block_t = _pick_block_t_vmem(xp.shape[1], xp.shape[0], wh.shape[0],
-                               _bwd_vmem_bytes, max_block=4,
+  block_t = _pick_block_t_vmem(xp_t_major.shape[0], xp_t_major.shape[1],
+                               wh.shape[0], _bwd_vmem_bytes, max_block=4,
                                itemsize=sdt.itemsize)
 
   g_t_major = jnp.swapaxes(g_ys, 0, 1).astype(jnp.float32)
   # The final carry is ys[:, -1]: fold its cotangent into the last step.
   g_t_major = g_t_major.at[-1].add(g_hfinal.astype(jnp.float32))
-  # h_prev stream: h0 followed by ys[:-1].
+  # h_prev stream: h0 followed by ys[:-1], at the stream dtype (bf16 in
+  # mixed mode - both in-kernel GEMM consumers cast to it regardless, and
+  # halving this 130 MB stream is worth the one elementwise rounding).
   hprev_t_major = jnp.concatenate(
-      [h0.astype(jnp.float32)[jnp.newaxis], ys_t_major[:-1]], axis=0)
+      [h0.astype(sdt)[jnp.newaxis], ys_t_major[:-1].astype(sdt)], axis=0)
   dxp_t, dh0, dwh, dbn2 = _pallas_gru_bwd(
-      g_t_major, jnp.swapaxes(xp, 0, 1), hprev_t_major, wh.astype(sdt),
+      g_t_major, xp_t_major, hprev_t_major, wh.astype(sdt),
       bn.reshape(1, -1), block_t=block_t, interpret=interpret)
   return (jnp.swapaxes(dxp_t, 0, 1), dwh, dbn2[0],
           dh0.astype(h0.dtype))
